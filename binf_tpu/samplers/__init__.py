@@ -1,0 +1,62 @@
+from binf_tpu.samplers.adaptation import (
+    DualAveragingState,
+    dual_averaging_init,
+    dual_averaging_step_size,
+    dual_averaging_update,
+    find_reasonable_step_size,
+    window_adaptation,
+)
+from binf_tpu.samplers.base import (
+    LogDensityFn,
+    Position,
+    SamplerKernel,
+    make_logdensity,
+    run_kernel,
+    sample_chain,
+)
+from binf_tpu.samplers.conjugate import gamma_precision_block, gaussian_linear_block
+from binf_tpu.samplers.gibbs import (
+    GibbsState,
+    direct_block,
+    gibbs,
+    hmc_block,
+    mala_block,
+    mh_block,
+    nuts_block,
+)
+from binf_tpu.samplers.hmc import HMCInfo, HMCState, hmc
+from binf_tpu.samplers.mala import MALAInfo, MALAState, mala
+from binf_tpu.samplers.rwm import RWMInfo, RWMState, rwm
+
+__all__ = [
+    "DualAveragingState",
+    "dual_averaging_init",
+    "dual_averaging_step_size",
+    "dual_averaging_update",
+    "find_reasonable_step_size",
+    "window_adaptation",
+    "LogDensityFn",
+    "Position",
+    "SamplerKernel",
+    "make_logdensity",
+    "run_kernel",
+    "sample_chain",
+    "gamma_precision_block",
+    "gaussian_linear_block",
+    "GibbsState",
+    "direct_block",
+    "gibbs",
+    "hmc_block",
+    "mala_block",
+    "mh_block",
+    "nuts_block",
+    "HMCInfo",
+    "HMCState",
+    "hmc",
+    "MALAInfo",
+    "MALAState",
+    "mala",
+    "RWMInfo",
+    "RWMState",
+    "rwm",
+]
