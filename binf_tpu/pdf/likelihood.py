@@ -61,11 +61,15 @@ class Likelihood(Density):
 
     @property
     def variable_specs(self) -> tuple[VariableSpec, ...]:
+        # union of submodel variables minus mock_data, minus anything already
+        # conditioned inside the error model (the reference's fixed-variable
+        # propagation, ``binf/pdf/likelihoods.py:42-77``)
+        em_fixed = set(self.error_model.fixed)
         specs: dict[str, VariableSpec] = {}
         for s in self.forward_model.variable_specs:
             specs[s.name] = s
         for s in self.error_model.variable_specs:
-            if s.name != MOCK_DATA and s.name not in specs:
+            if s.name != MOCK_DATA and s.name not in specs and s.name not in em_fixed:
                 specs[s.name] = s
         return tuple(specs.values())
 

@@ -106,6 +106,21 @@ class Posterior(Density):
                 new_liks[name] = lik
         return replace(self, likelihoods=new_liks)
 
+    def sample_prior(self, key: Array) -> ValueDict:
+        """One joint draw from all prior components (SMC initialization).
+
+        Only free variables covered by a prior with a sampler are drawn;
+        raises if any free variable has no prior.
+        """
+        out: ValueDict = {}
+        keys = jax.random.split(key, max(len(self.priors), 1))
+        for k, prior in zip(keys, self.priors.values()):
+            out.update(prior.sample(k))
+        missing = set(self.variables) - set(out)
+        if missing:
+            raise ValueError(f"no prior sampler covers variable(s) {sorted(missing)}")
+        return {k: v for k, v in out.items() if k in self.variables}
+
     def log_likelihood(self, values=None, **kw) -> Array:
         """Sum of likelihood components only (needed for SMC weights)."""
         from binf_tpu.core.density import as_value_dict

@@ -39,7 +39,15 @@ __all__ = [
 
 
 class Prior(Density):
-    """Marker base class for priors (reference ``binf/pdf/priors.py:10-12``)."""
+    """Marker base class for priors (reference ``binf/pdf/priors.py:10-12``).
+
+    Priors additionally support ``sample(key) -> ValueDict`` (one draw of
+    their free variables) -- used for SMC particle initialization and ADVI
+    initialization; the reference has no prior sampling at all.
+    """
+
+    def sample(self, key: Array) -> ValueDict:  # pragma: no cover
+        raise NotImplementedError(f"{type(self).__name__} has no sampler")
 
 
 @pytree_dataclass
@@ -72,6 +80,11 @@ class GammaPrior(Prior):
 
     def _log_prob(self, values: ValueDict) -> Array:
         return dist.gamma_log_prob(values[self.variable], self.shape_param, self.rate)
+
+    def sample(self, key: Array) -> ValueDict:
+        return {
+            self.variable: jax.random.gamma(key, self.shape_param) / self.rate
+        }
 
 
 @pytree_dataclass
@@ -112,6 +125,10 @@ class GaussianPrior(Prior):
         x = values[self.variable]
         return jnp.sum(dist.normal_log_prob(x, self.means, jnp.sqrt(self.variances)))
 
+    def sample(self, key: Array) -> ValueDict:
+        eps = jax.random.normal(key, self.means.shape, self.means.dtype)
+        return {self.variable: self.means + jnp.sqrt(self.variances) * eps}
+
 
 @pytree_dataclass
 class ExponentialPrior(Prior):
@@ -135,6 +152,9 @@ class ExponentialPrior(Prior):
 
     def _log_prob(self, values: ValueDict) -> Array:
         return jnp.sum(dist.exponential_log_prob(values[self.variable], self.rate))
+
+    def sample(self, key: Array) -> ValueDict:
+        return {self.variable: jax.random.exponential(key, ()) / self.rate}
 
 
 @pytree_dataclass
@@ -168,6 +188,10 @@ class UniformPrior(Prior):
             dist.uniform_log_prob(values[self.variable], self.low, self.high)
         )
 
+    def sample(self, key: Array) -> ValueDict:
+        u = jax.random.uniform(key, self.var_shape)
+        return {self.variable: self.low + (self.high - self.low) * u}
+
 
 @pytree_dataclass
 class HalfNormalPrior(Prior):
@@ -191,6 +215,9 @@ class HalfNormalPrior(Prior):
 
     def _log_prob(self, values: ValueDict) -> Array:
         return jnp.sum(dist.halfnormal_log_prob(values[self.variable], self.scale))
+
+    def sample(self, key: Array) -> ValueDict:
+        return {self.variable: jnp.abs(jax.random.normal(key, ())) * self.scale}
 
 
 @pytree_dataclass
