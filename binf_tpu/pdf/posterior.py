@@ -100,7 +100,7 @@ class Posterior(Density):
 
         new_liks = {}
         for name, lik in self.likelihoods.items():
-            if isinstance(lik, Likelihood):
+            if hasattr(lik, "temper"):  # any likelihood-like density
                 new_liks[name] = replace(lik, temper=beta)
             else:
                 new_liks[name] = lik
