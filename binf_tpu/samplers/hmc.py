@@ -117,11 +117,14 @@ def hmc(
     num_integration_steps: int = 10,
     inverse_mass: Any = None,
     divergence_threshold: float = DIVERGENCE_THRESHOLD,
+    jitter: float = 0.0,
 ) -> SamplerKernel:
     """Build an HMC kernel.
 
     ``inverse_mass``: None (identity) or a pytree matching the position with
     per-component inverse masses (diagonal metric).
+    ``jitter``: per-step uniform step-size perturbation eps * U[1-j, 1+j]
+    (breaks trajectory-length resonances; 0 disables).
     """
     value_and_grad_fn = jax.value_and_grad(logdensity_fn)
 
@@ -130,8 +133,12 @@ def hmc(
         return HMCState(position, ld, grad)
 
     def step(key: Array, state: HMCState) -> tuple[HMCState, HMCInfo]:
-        key_mom, key_accept = jax.random.split(key)
+        key_mom, key_accept, key_eps = jax.random.split(key, 3)
         p0 = sample_momentum(key_mom, state.position, inverse_mass)
+
+        eps = jnp.asarray(step_size)
+        if jitter > 0:
+            eps = eps * (1.0 + jitter * (2.0 * jax.random.uniform(key_eps, ()) - 1.0))
 
         energy_before = -state.logdensity + kinetic_energy(p0, inverse_mass)
         q, p, ld, grad = leapfrog(
@@ -139,7 +146,7 @@ def hmc(
             state.position,
             p0,
             state.logdensity_grad,
-            jnp.asarray(step_size),
+            eps,
             num_integration_steps,
             inverse_mass,
         )

@@ -51,8 +51,14 @@ def quadratic_hmc(
     use_pallas: bool | None = None,
     block_chains: int = 256,
     interpret: bool = False,
+    jitter: float = 0.2,
 ) -> SamplerKernel:
-    """Batched HMC kernel for log p(q) = -(0.5 q^T A q - b^T q)."""
+    """Batched HMC kernel for log p(q) = -(0.5 q^T A q - b^T q).
+
+    ``jitter``: per-step uniform step-size perturbation (eps * U[1-j, 1+j]),
+    shared across the chain batch -- breaks the trajectory-length resonances
+    a quadratic target's eigenmodes otherwise lock into.
+    """
     D = b.shape[0]
     im = jnp.ones((D,), jnp.float32) if inv_mass is None else inv_mass
 
@@ -78,13 +84,16 @@ def quadratic_hmc(
 
     def step(key: Array, state: QuadraticHMCState):
         C = state.position.shape[0]
-        key_mom, key_accept = jax.random.split(key)
+        key_mom, key_accept, key_eps = jax.random.split(key, 3)
         p0 = jax.random.normal(key_mom, state.position.shape) / jnp.sqrt(im)[None, :]
 
         ke0 = 0.5 * jnp.sum(p0 * p0 * im[None, :], axis=-1)
         e_before = state.potential + ke0
 
-        q, p = integrate(state.position, p0, jnp.asarray(step_size))
+        eps = jnp.asarray(step_size)
+        if jitter > 0:
+            eps = eps * (1.0 + jitter * (2.0 * jax.random.uniform(key_eps, ()) - 1.0))
+        q, p = integrate(state.position, p0, eps)
         U = potential(q)
         ke = 0.5 * jnp.sum(p * p * im[None, :], axis=-1)
         e_after = U + ke
