@@ -38,6 +38,13 @@ __all__ = [
     "poisson_log_prob",
     "bernoulli_log_prob",
     "halfnormal_log_prob",
+    "binomial_log_prob",
+    "negative_binomial_log_prob",
+    "categorical_log_prob",
+    "dirichlet_log_prob",
+    "weibull_log_prob",
+    "von_mises_log_prob",
+    "truncated_normal_log_prob",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -58,7 +65,7 @@ def normal_sample(key: Array, shape, loc: Array = 0.0, scale: Array = 1.0) -> Ar
 
 def halfnormal_log_prob(x: Array, scale: Array = 1.0) -> Array:
     z = x / scale
-    lp = 0.5 * math.log(2.0) - 0.5 * (_LOG_2PI) - jnp.log(scale) - 0.5 * z * z
+    lp = math.log(2.0) - 0.5 * (_LOG_2PI) - jnp.log(scale) - 0.5 * z * z
     return jnp.where(x >= 0, lp, -jnp.inf)
 
 
@@ -73,7 +80,8 @@ def mv_normal_full_log_prob(x: Array, loc: Array, cov_chol: Array) -> Array:
     batches."""
     d = x.shape[-1]
     diff = x - loc
-    z = jax.scipy.linalg.solve_triangular(cov_chol, diff[..., None], lower=True)[..., 0]
+    chol_b = jnp.broadcast_to(cov_chol, diff.shape[:-1] + cov_chol.shape[-2:])
+    z = jax.scipy.linalg.solve_triangular(chol_b, diff[..., None], lower=True)[..., 0]
     half_logdet = jnp.sum(jnp.log(jnp.diagonal(cov_chol, axis1=-2, axis2=-1)), axis=-1)
     return -0.5 * jnp.sum(z * z, axis=-1) - half_logdet - 0.5 * d * _LOG_2PI
 
@@ -168,3 +176,64 @@ def bernoulli_log_prob(x: Array, logits: Array) -> Array:
     """x in {0,1}; logits = log(p/(1-p)).  Stable via softplus."""
     x = jnp.asarray(x, dtype=jnp.result_type(logits))
     return x * logits - jax.nn.softplus(logits)
+
+
+def binomial_log_prob(k: Array, n: Array, logits: Array) -> Array:
+    """k successes in n trials, success log-odds = logits."""
+    k = jnp.asarray(k, dtype=jnp.result_type(logits))
+    n = jnp.asarray(n, dtype=jnp.result_type(logits))
+    log_comb = jsp.gammaln(n + 1.0) - jsp.gammaln(k + 1.0) - jsp.gammaln(n - k + 1.0)
+    return log_comb + k * logits - n * jax.nn.softplus(logits)
+
+
+def negative_binomial_log_prob(k: Array, total_count: Array, logits: Array) -> Array:
+    """Number of failures k before ``total_count`` successes;
+    logits = log-odds of failure probability."""
+    k = jnp.asarray(k, dtype=jnp.result_type(logits))
+    r = jnp.asarray(total_count, dtype=jnp.result_type(logits))
+    log_comb = jsp.gammaln(k + r) - jsp.gammaln(k + 1.0) - jsp.gammaln(r)
+    return log_comb + k * logits - (k + r) * jax.nn.softplus(logits)
+
+
+def categorical_log_prob(k: Array, logits: Array) -> Array:
+    """Index k in [0, C) with unnormalized logits (..., C); k batches
+    broadcast against the logits' batch dims."""
+    k = jnp.asarray(k).astype(jnp.int32)
+    logz = jsp.logsumexp(logits, axis=-1)
+    logits_b = jnp.broadcast_to(logits, k.shape + logits.shape[-1:])
+    gathered = jnp.take_along_axis(logits_b, k[..., None], axis=-1)[..., 0]
+    return gathered - logz
+
+
+def dirichlet_log_prob(x: Array, concentration: Array) -> Array:
+    """x on the simplex, summed over the last axis."""
+    a = concentration
+    norm = jsp.gammaln(jnp.sum(a, axis=-1)) - jnp.sum(jsp.gammaln(a), axis=-1)
+    lp = jnp.sum((a - 1.0) * jnp.log(x), axis=-1) + norm
+    ok = (x > 0).all(axis=-1)
+    return jnp.where(ok, lp, -jnp.inf)
+
+
+def weibull_log_prob(x: Array, concentration: Array, scale: Array) -> Array:
+    k, lam = concentration, scale
+    z = x / lam
+    lp = jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
+    return jnp.where(x > 0, lp, -jnp.inf)
+
+
+def von_mises_log_prob(x: Array, loc: Array, concentration: Array) -> Array:
+    """Angle x in radians; normalized with log I0(kappa)."""
+    kappa = concentration
+    log_i0 = jnp.log(jax.scipy.special.i0e(kappa)) + kappa
+    return kappa * jnp.cos(x - loc) - jnp.log(2.0 * math.pi) - log_i0
+
+
+def truncated_normal_log_prob(
+    x: Array, loc: Array, scale: Array, low: Array, high: Array
+) -> Array:
+    z = (x - loc) / scale
+    zl = (low - loc) / scale
+    zh = (high - loc) / scale
+    log_norm = jnp.log(jsp.ndtr(zh) - jsp.ndtr(zl))
+    lp = normal_log_prob(x, loc, scale) - log_norm
+    return jnp.where((x >= low) & (x <= high), lp, -jnp.inf)
