@@ -118,6 +118,9 @@ def bench_pairwise():
 
 
 if __name__ == "__main__":
+    from binf_tpu.io.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     print(f"# device: {jax.devices()[0].device_kind}", file=sys.stderr)
     bench_leapfrog()
     bench_pairwise()

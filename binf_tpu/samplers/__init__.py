@@ -26,7 +26,10 @@ from binf_tpu.samplers.gibbs import (
 )
 from binf_tpu.samplers.hmc import HMCInfo, HMCState, hmc
 from binf_tpu.samplers.mala import MALAInfo, MALAState, mala
+from binf_tpu.samplers.nuts import NUTSInfo, NUTSState, nuts
+from binf_tpu.samplers.quadratic_hmc import QuadraticHMCState, quadratic_hmc
 from binf_tpu.samplers.rwm import RWMInfo, RWMState, rwm
+from binf_tpu.samplers.tempering import PTInfo, PTState, geometric_betas, parallel_tempering
 
 __all__ = [
     "DualAveragingState",
@@ -53,6 +56,15 @@ __all__ = [
     "HMCInfo",
     "HMCState",
     "hmc",
+    "NUTSInfo",
+    "NUTSState",
+    "nuts",
+    "QuadraticHMCState",
+    "quadratic_hmc",
+    "PTInfo",
+    "PTState",
+    "geometric_betas",
+    "parallel_tempering",
     "MALAInfo",
     "MALAState",
     "mala",
