@@ -105,6 +105,7 @@ def tempered_smc(
     target_accept: float | None = None,
     initial_particles: Position | None = None,
     transforms: dict[str, Transform] | None = None,
+    mesh=None,
 ) -> SMCResult:
     """Run adaptive tempered SMC targeting ``posterior``.
 
@@ -112,8 +113,20 @@ def tempered_smc(
     variable has no prior sampler).  ``transforms`` maps constrained
     variables to unconstrained space for mutation (default: heuristic
     log-transform for positive-looking names).  Call under ``jax.jit``.
+
+    ``mesh``: a :class:`jax.sharding.Mesh` with the particle axis sharded --
+    switches systematic resampling to the explicitly-scheduled shard_map
+    implementation (weights-only collective in the index phase; see
+    ``binf_tpu.parallel.collectives``) for multi-host runs.
     """
-    resampler = RESAMPLERS[resampling]
+    if mesh is not None and resampling == "systematic":
+        from binf_tpu.parallel.collectives import distributed_systematic_indices
+
+        def resampler(k, lw):
+            return distributed_systematic_indices(k, lw, mesh)
+
+    else:
+        resampler = RESAMPLERS[resampling]
     if target_accept is None:
         target_accept = 0.3 if mutation == "rwm" else 0.7
     if transforms is None:
