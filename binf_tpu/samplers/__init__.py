@@ -14,6 +14,7 @@ from binf_tpu.samplers.base import (
     run_kernel,
     sample_chain,
 )
+from binf_tpu.samplers.chees import ChEESResult, chees_adaptation, chees_hmc
 from binf_tpu.samplers.conjugate import gamma_precision_block, gaussian_linear_block
 from binf_tpu.samplers.gibbs import (
     GibbsState,
@@ -32,6 +33,9 @@ from binf_tpu.samplers.rwm import RWMInfo, RWMState, rwm
 from binf_tpu.samplers.tempering import PTInfo, PTState, geometric_betas, parallel_tempering
 
 __all__ = [
+    "ChEESResult",
+    "chees_adaptation",
+    "chees_hmc",
     "DualAveragingState",
     "dual_averaging_init",
     "dual_averaging_step_size",
