@@ -1,0 +1,272 @@
+"""Command-line inference runner: ``python -m binf_tpu ...``.
+
+The reference's "runtime" is a hand-written script (``example_script.py``);
+this CLI is the productionized equivalent: pick a registered model, a
+kernel, and run sizes; get a diagnostics summary (JSON) plus optional
+checkpointing -- driven by the typed config system (`io/config.py`).
+
+    python -m binf_tpu --model polynomial --algorithm gibbs --chains 1024 \\
+        --samples 500 --summary-out results.json
+
+Registered models: ``polynomial`` (reference workload), ``hierarchical``
+(Gaussian+Poisson channels), ``chromatin`` (distance restraints).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_model(name: str, key):
+    """Returns (posterior, initial_positions_fn, transforms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from binf_tpu.pdf.transforms import LogTransform
+
+    if name == "polynomial":
+        from binf_tpu.example.polynomial import (
+            initial_positions,
+            make_data,
+            make_posterior,
+        )
+
+        xses, ys = make_data(key)
+        post = make_posterior(xses, ys)
+        return post, initial_positions, {"precision": LogTransform}
+
+    if name == "hierarchical":
+        from binf_tpu.example.hierarchical import (
+            make_hierarchical_posterior,
+            synthetic_hierarchical_data,
+        )
+
+        n_groups = 8
+        x, y, counts, _ = synthetic_hierarchical_data(key, n_groups)
+        post = make_hierarchical_posterior(x, y, counts, n_groups)
+
+        def init_fn(n_chains, key=None):
+            k = key if key is not None else jax.random.key(0)
+            return {
+                "group_params": 0.1 * jax.random.normal(k, (n_chains, n_groups, 2)),
+                "mu": jnp.zeros((n_chains, 2)),
+                "log_tau": jnp.full((n_chains, 2), -1.0),
+                "precision": jnp.full((n_chains,), 5.0),
+            }
+
+        return post, init_fn, {"precision": LogTransform}
+
+    if name == "chromatin":
+        from binf_tpu.example.chromatin import (
+            make_chromatin_posterior,
+            synthetic_restraints,
+        )
+
+        n_beads = 64
+        _, log_target, W = synthetic_restraints(key, n_beads, observe_frac=0.3)
+        post = make_chromatin_posterior(log_target, W)
+
+        def init_fn(n_chains, key=None):
+            k = key if key is not None else jax.random.key(0)
+            keys = jax.random.split(k, n_chains)
+            return jax.vmap(post.sample_prior)(keys)
+
+        return post, init_fn, {"precision": LogTransform}
+
+    raise SystemExit(f"unknown model {name!r}; choose polynomial|hierarchical|chromatin")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="binf_tpu")
+    ap.add_argument("--model", default="polynomial")
+    ap.add_argument("--algorithm", default="hmc",
+                    choices=["hmc", "nuts", "chees", "rwm", "mala", "gibbs", "smc", "advi"])
+    ap.add_argument("--chains", type=int, default=256)
+    ap.add_argument("--warmup", type=int, default=300)
+    ap.add_argument("--samples", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--step-size", type=float, default=0.1)
+    ap.add_argument("--summary-out", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--mesh", action="store_true", help="shard chains over all devices")
+    ap.add_argument("--persistent-cache", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.persistent_cache:
+        from binf_tpu.io.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+
+    from binf_tpu.diagnostics import summary
+    from binf_tpu.parallel.mesh import make_chain_mesh
+    from binf_tpu.parallel.runner import init_chains, run_chains, warmup_and_run
+    from binf_tpu.pdf.transforms import transform_logdensity
+
+    key = jax.random.key(args.seed)
+    k_model, k_init, k_run = jax.random.split(key, 3)
+    posterior, init_fn, transforms = build_model(args.model, k_model)
+    mesh = make_chain_mesh() if args.mesh else None
+
+    t0 = time.perf_counter()
+
+    if args.algorithm == "smc":
+        from binf_tpu.smc import tempered_smc
+
+        result = jax.jit(
+            lambda k: tempered_smc(
+                posterior, k, num_particles=args.chains, mutation="hmc",
+                num_mutation_steps=5, mesh=mesh,
+            )
+        )(k_run)
+        jax.block_until_ready(result.particles)
+        elapsed = time.perf_counter() - t0
+        out = {
+            "model": args.model, "algorithm": "smc",
+            "log_evidence": float(result.log_evidence),
+            "num_stages": int(result.num_stages),
+            "elapsed_sec": round(elapsed, 3),
+            "posterior_means": {
+                k: jnp.mean(v, axis=0).tolist()
+                for k, v in result.particles.items()
+            },
+        }
+
+    elif args.algorithm == "advi":
+        from binf_tpu.vi import advi, variational_sample
+
+        result = jax.jit(
+            lambda k: advi(posterior, k, num_steps=args.samples * 4,
+                           transforms=transforms)
+        )(k_run)
+        draws = variational_sample(posterior, result, k_init, 1000, transforms)
+        jax.block_until_ready(draws)
+        elapsed = time.perf_counter() - t0
+        out = {
+            "model": args.model, "algorithm": "advi",
+            "final_elbo": float(result.final_elbo),
+            "elapsed_sec": round(elapsed, 3),
+            "posterior_means": {
+                k: jnp.mean(v, axis=0).tolist() for k, v in draws.items()
+            },
+        }
+
+    elif args.algorithm == "gibbs":
+        if args.model != "polynomial":
+            raise SystemExit("--algorithm gibbs is wired for --model polynomial")
+        from binf_tpu.example.polynomial import make_collapsed_gibbs_kernel
+
+        kernel = make_collapsed_gibbs_kernel(posterior)
+        states = init_chains(kernel, init_fn(args.chains, key=k_init), mesh=mesh)
+        _, samples = jax.jit(
+            lambda s, k: run_chains(kernel, k, s, args.samples)
+        )(states, k_run)
+        jax.block_until_ready(samples)
+        elapsed = time.perf_counter() - t0
+        out = _summarize(args, samples, elapsed, burn=args.samples // 4)
+
+    else:  # gradient samplers via adaptive warmup
+        logdensity = transform_logdensity(
+            lambda p: posterior.log_prob(p), transforms
+        )
+
+        if args.algorithm == "chees":
+            from binf_tpu.samplers.chees import chees_adaptation, chees_hmc
+
+            positions = init_fn(args.chains, key=k_init)
+            u_positions = _unconstrain_batch(transforms, positions)
+            adapt = jax.jit(
+                lambda k: chees_adaptation(
+                    logdensity, u_positions, k, num_steps=args.warmup,
+                    initial_step_size=args.step_size,
+                )
+            )(k_run)
+            kernel = chees_hmc(logdensity, adapt.step_size,
+                               adapt.trajectory_length, adapt.inverse_mass)
+            states = jax.vmap(kernel.init)(adapt.final_positions)
+            _, samples = jax.jit(
+                lambda s, k: run_chains(kernel, k, s, args.samples)
+            )(states, jax.random.fold_in(k_run, 1))
+        else:
+            from binf_tpu.samplers.hmc import hmc
+            from binf_tpu.samplers.mala import mala
+            from binf_tpu.samplers.nuts import nuts
+            from binf_tpu.samplers.rwm import rwm
+
+            def builder(step_size, inverse_mass):
+                if args.algorithm == "hmc":
+                    return hmc(logdensity, step_size, 10, inverse_mass)
+                if args.algorithm == "nuts":
+                    return nuts(logdensity, step_size, 8, inverse_mass)
+                if args.algorithm == "mala":
+                    return mala(logdensity, step_size)
+                return rwm(logdensity, step_size)
+
+            positions = init_fn(args.chains, key=k_init)
+            u_positions = _unconstrain_batch(transforms, positions)
+            samples, _, adapt = warmup_and_run(
+                builder, u_positions, k_run,
+                num_warmup=args.warmup, num_samples=args.samples,
+                initial_step_size=args.step_size, mesh=mesh,
+            )
+        jax.block_until_ready(samples)
+        elapsed = time.perf_counter() - t0
+        samples = _constrain_batch(transforms, samples)
+        out = _summarize(args, samples, elapsed, burn=0)
+
+    line = json.dumps(out, indent=2)
+    print(line)
+    if args.summary_out:
+        with open(args.summary_out, "w") as f:
+            f.write(line)
+    return out
+
+
+def _unconstrain_batch(transforms, positions):
+    import jax
+
+    from binf_tpu.pdf.transforms import unconstrain
+
+    return jax.vmap(lambda p: unconstrain(transforms, p))(positions)
+
+
+def _constrain_batch(transforms, samples):
+    import jax
+
+    from binf_tpu.pdf.transforms import constrain
+
+    # samples leaves: (steps, chains, ...) -- map over both axes
+    return jax.vmap(jax.vmap(lambda p: constrain(transforms, p)))(samples)
+
+
+def _summarize(args, samples, elapsed, burn=0):
+    from binf_tpu.diagnostics import summary
+
+    kept = {k: v[burn:] for k, v in samples.items()}
+    stats = summary(kept)
+    first = kept[next(iter(kept))]
+    n_draws = first.shape[0] * first.shape[1]
+    return {
+        "model": args.model,
+        "algorithm": args.algorithm,
+        "chains": args.chains,
+        "draws": n_draws,
+        "elapsed_sec": round(elapsed, 3),
+        "draws_per_sec": round(n_draws / elapsed, 1),
+        "summary": {
+            name: {
+                stat: (v.tolist() if hasattr(v, "tolist") else float(v))
+                for stat, v in s.items()
+            }
+            for name, s in stats.items()
+        },
+    }
+
+
+if __name__ == "__main__":
+    main()

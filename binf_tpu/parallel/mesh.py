@@ -27,11 +27,33 @@ __all__ = [
     "CHAIN_AXIS",
     "HOST_AXIS",
     "DATA_AXIS",
+    "initialize_distributed",
     "make_chain_mesh",
     "chain_sharding",
     "shard_chains",
     "replicate",
 ]
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with defaults
+    from the TPU environment (a no-op on a single host).  Returns the
+    process count.  Call before any jax computation; afterwards
+    ``make_chain_mesh(host_axis=True)`` lays the host axis over DCN and the
+    chain axis over ICI."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    return max(jax.process_count(), 1)
 
 
 def make_chain_mesh(
