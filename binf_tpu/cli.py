@@ -163,9 +163,10 @@ def main(argv=None):
 
         kernel = make_collapsed_gibbs_kernel(posterior)
         states = init_chains(kernel, init_fn(args.chains, key=k_init), mesh=mesh)
-        _, samples = jax.jit(
-            lambda s, k: run_chains(kernel, k, s, args.samples)
-        )(states, k_run)
+        run = jax.jit(lambda s, k: run_chains(kernel, k, s, args.samples))
+        jax.block_until_ready(run(states, k_run))  # compile (excluded)
+        t0 = time.perf_counter()
+        _, samples = run(states, k_run)
         jax.block_until_ready(samples)
         elapsed = time.perf_counter() - t0
         out = _summarize(args, samples, elapsed, burn=args.samples // 4)
