@@ -38,10 +38,13 @@ __all__ = ["fused_linreg_hmc_run", "linreg_unconstrained_logdensity"]
 _TWO_PI = 2.0 * math.pi
 
 
-def linreg_unconstrained_logdensity(V, y, prior_var, gamma_shape, gamma_rate):
+def linreg_unconstrained_logdensity(V, y, prior_var, gamma_shape, gamma_rate,
+                                    prior_mean=None):
     """Reference XLA implementation of the same unconstrained log density
     (for warmup adaptation and cross-checking the kernel)."""
     n = y.shape[0]
+    if prior_mean is None:
+        prior_mean = jnp.zeros(V.shape[1])
 
     def logdensity(pos):
         c, t = pos["coefficients"], pos["precision"]
@@ -51,7 +54,7 @@ def linreg_unconstrained_logdensity(V, y, prior_var, gamma_shape, gamma_rate):
             -0.5 * lam * jnp.sum(r * r)
             + (0.5 * n + gamma_shape) * t
             - gamma_rate * lam
-            - 0.5 * jnp.sum(c * c / prior_var)
+            - 0.5 * jnp.sum((c - prior_mean) ** 2 / prior_var)
         )
 
     return logdensity
@@ -78,6 +81,7 @@ def _kernel(
     vpad_ref,  # (n_pad, 8) VMEM: design matrix, col d.. zero, rows >= n zero
     y_ref,  # (n_pad, 1) VMEM
     ipv_ref,  # (8, 1) VMEM: 1/prior_var rows 0..d-1, 0 elsewhere
+    pm_ref,  # (8, 1) VMEM: coefficient prior means (rows >= d zero)
     im_ref,  # (8, 1) VMEM: inverse mass diag (rows > d zero)
     mom_ref,  # (SB, 8, BC) VMEM: host momentum noise (host mode; (1,8,BC) dummy on tpu)
     unif_ref,  # (SB, 1, BC) VMEM: host accept uniforms (host mode)
@@ -112,6 +116,7 @@ def _kernel(
     Vp = vpad_ref[:]  # (n_pad, 8)
     yv = y_ref[:]  # (n_pad, 1)
     ipv = ipv_ref[:]  # (8, 1)
+    pm = pm_ref[:]  # (8, 1)
     im = im_ref[:]  # (8, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     is_t_row = (row == d).astype(jnp.float32)  # (8,1)
@@ -127,15 +132,16 @@ def _kernel(
         sumsq = jnp.sum(resid * resid, axis=0, keepdims=True)  # (1, BC)
         t = t_of(q)
         lam = jnp.exp(t)  # (1, BC)
+        qc = q - pm
         U = (
             0.5 * lam * sumsq
             - half_n_plus_a * t
             + gamma_rate * lam
-            + 0.5 * jnp.sum(q * q * ipv, axis=0, keepdims=True)
+            + 0.5 * jnp.sum(qc * qc * ipv, axis=0, keepdims=True)
         )  # (1, BC)
         grad_c = lam * jnp.dot(
             Vp.T, resid, preferred_element_type=jnp.float32
-        ) + q * ipv  # (8, BC); t-row is zero so far
+        ) + qc * ipv  # (8, BC); t-row is zero so far
         du_dt = 0.5 * lam * sumsq - half_n_plus_a + gamma_rate * lam  # (1, BC)
         grad = grad_c * (1.0 - is_t_row) + is_t_row * du_dt
         return U, grad * active
@@ -199,6 +205,8 @@ def fused_linreg_hmc_run(
     gamma_shape: float,
     gamma_rate: float,
     step_size,
+    *,
+    prior_mean: Array | None = None,
     inverse_mass: Array,  # (d+1,)
     num_steps: int,
     num_leapfrog: int = 10,
@@ -228,6 +236,9 @@ def fused_linreg_hmc_run(
     vpad = jnp.zeros((n_pad, 8), jnp.float32).at[:n, :d].set(V)
     ypad = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(y)
     ipv = jnp.zeros((8, 1), jnp.float32).at[:d, 0].set(1.0 / prior_var)
+    if prior_mean is None:
+        prior_mean = jnp.zeros((d,), jnp.float32)
+    pm = jnp.zeros((8, 1), jnp.float32).at[:d, 0].set(prior_mean)
     im = jnp.zeros((8, 1), jnp.float32).at[: d + 1, 0].set(inverse_mass)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     eps_arr = jnp.asarray(step_size, jnp.float32).reshape(1, 1)
@@ -278,6 +289,7 @@ def fused_linreg_hmc_run(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((steps_per_block, 8, block_chains), noise_index,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((steps_per_block, 1, block_chains), noise_index,
@@ -299,7 +311,7 @@ def fused_linreg_hmc_run(
             bytes_accessed=4 * num_steps * 8 * C,
             transcendentals=4 * 8 * C * num_steps,
         ),
-    )(seed_arr, eps_arr, q0_t, vpad, ypad, ipv, im, mom, unif)
+    )(seed_arr, eps_arr, q0_t, vpad, ypad, ipv, pm, im, mom, unif)
 
     accept_rate = acc[0, 0] / (num_steps * n_tiles)
     # (T, 8, C) -> (T, C, d+1)

@@ -90,12 +90,9 @@ def test_deterministic_given_seed(problem):
     C = 32
     q0 = jnp.zeros((C, 5))
     im = jnp.ones(5) * 0.05
-    d1, a1 = fused_linreg_hmc_run(
-        q0, 3, V, y, prior_var, 1.0, 0.2, 0.2, im, 100,
-        block_chains=32, steps_per_block=50, interpret=True, host_noise=True,
-    )
-    d2, a2 = fused_linreg_hmc_run(
-        q0, 3, V, y, prior_var, 1.0, 0.2, 0.2, im, 100,
-        block_chains=32, steps_per_block=50, interpret=True, host_noise=True,
-    )
+    kwargs = dict(step_size=0.2, inverse_mass=im, num_steps=100,
+                  block_chains=32, steps_per_block=50, interpret=True,
+                  host_noise=True)
+    d1, a1 = fused_linreg_hmc_run(q0, 3, V, y, prior_var, 1.0, 0.2, **kwargs)
+    d2, a2 = fused_linreg_hmc_run(q0, 3, V, y, prior_var, 1.0, 0.2, **kwargs)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
