@@ -156,6 +156,50 @@ def synthetic_restraints(
     return X_true, log_target, W
 
 
+def make_sharded_restraint_loss(mesh, axis: str = "data"):
+    """Row-sharded O(N^2) restraint evaluation (SURVEY.md section 5's
+    "blockwise ... over shards": the domain analogue of sequence parallelism).
+
+    The (N, N) target/weight matrices are sharded by ROWS over ``axis``; the
+    small (N, 3) structure is replicated.  Forward: each device evaluates its
+    (N/D, N) slab and the scalar losses are psum-reduced.  Backward: each
+    device computes the forces for ITS rows (symmetric-W factor 2), so the
+    gradient comes back row-sharded with zero extra communication.
+
+    Memory and compute are O(N^2 / D) per device -- the path to
+    chromosome-scale (N ~ 10^5) restraint fields.
+    """
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from binf_tpu.ops.pallas.pairwise import pairwise_restraint_block
+
+    @partial(jax.custom_vjp, nondiff_argnums=())
+    def loss_fn(X, logD, W):
+        return _fwd(X, logD, W)[0]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis), P(axis)),
+             out_specs=(P(), P(axis)))
+    def _eval(X, logD_local, W_local):
+        m = logD_local.shape[0]
+        dev = jax.lax.axis_index(axis)
+        X_rows = jax.lax.dynamic_slice_in_dim(X, dev * m, m, axis=0)
+        loss, forces = pairwise_restraint_block(X_rows, X, logD_local, W_local)
+        return jax.lax.psum(loss, axis), forces
+
+    def _fwd(X, logD, W):
+        loss, forces = _eval(X, logD, W)
+        return loss, forces
+
+    def _bwd(forces, g):
+        return (g * forces, None, None)
+
+    loss_fn.defvjp(_fwd, _bwd)
+    return loss_fn
+
+
 def restraint_precision_block(posterior, likelihood_name: str = "restraints",
                               prior_name: str = "precision_prior"):
     """Exact conjugate Gibbs draw of the restraint precision:

@@ -52,6 +52,27 @@ def pairwise_restraint_loss_reference(X: Array, logD: Array, W: Array) -> Array:
     return jnp.sum(W * r * r)
 
 
+def pairwise_restraint_block(
+    X_rows: Array, X_all: Array, logD_rows: Array, W_rows: Array
+) -> tuple[Array, Array]:
+    """Rectangular block: rows of a sharded restraint matrix vs ALL beads.
+
+    Returns (loss_contribution, row_forces) where ``row_forces[i]`` is
+    d loss_total / d X_rows[i] ASSUMING the full weight matrix is symmetric
+    (the column terms for these rows equal the row terms -> factor 2).
+    Used by the sharded evaluation: each device holds (M, N) slabs of
+    logD/W and its M rows of forces; the scalar losses are psum-reduced.
+    """
+    diff = X_rows[:, None, :] - X_all[None, :, :]  # (M, N, 3)
+    d2 = jnp.maximum(jnp.sum(diff * diff, axis=-1), _EPS)
+    r = 0.5 * jnp.log(d2) - logD_rows
+    loss = jnp.sum(W_rows * r * r)
+    coef = W_rows * r / d2  # (M, N)
+    # chain rule contributes 2 (d r^2/d d2 * d d2/dx), W-symmetry another 2
+    forces = 4.0 * jnp.einsum("mn,mnc->mc", coef, diff)
+    return loss, forces
+
+
 # -- forward kernel ---------------------------------------------------------
 
 
