@@ -1,3 +1,19 @@
+from binf_tpu.diagnostics.model_comparison import (
+    LOOResult,
+    WAICResult,
+    pointwise_log_likelihood,
+    psis_loo,
+    waic,
+)
 from binf_tpu.diagnostics.rhat import ess, split_rhat, summary
 
-__all__ = ["ess", "split_rhat", "summary"]
+__all__ = [
+    "ess",
+    "split_rhat",
+    "summary",
+    "LOOResult",
+    "WAICResult",
+    "pointwise_log_likelihood",
+    "psis_loo",
+    "waic",
+]

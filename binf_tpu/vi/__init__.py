@@ -1,3 +1,9 @@
+from binf_tpu.vi.laplace import (
+    LaplaceResult,
+    inverse_mass_from_laplace,
+    laplace_approximation,
+    laplace_sample,
+)
 from binf_tpu.vi.advi import (
     ADVIResult,
     FullRankParams,
@@ -7,6 +13,10 @@ from binf_tpu.vi.advi import (
 )
 
 __all__ = [
+    "LaplaceResult",
+    "inverse_mass_from_laplace",
+    "laplace_approximation",
+    "laplace_sample",
     "ADVIResult",
     "FullRankParams",
     "MeanFieldParams",
