@@ -1,3 +1,4 @@
+from binf_tpu.vi.svgd import SVGDResult, svgd
 from binf_tpu.vi.laplace import (
     LaplaceResult,
     inverse_mass_from_laplace,
@@ -13,6 +14,8 @@ from binf_tpu.vi.advi import (
 )
 
 __all__ = [
+    "SVGDResult",
+    "svgd",
     "LaplaceResult",
     "inverse_mass_from_laplace",
     "laplace_approximation",
