@@ -17,7 +17,7 @@ nicely with XLA's trace-once compilation model.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, TypeVar
+from typing import Any, TypeVar
 
 import jax
 

@@ -23,10 +23,7 @@ import jax.numpy as jnp
 
 from binf_tpu.core.density import Density, ValueDict, VariableSpec
 from binf_tpu.core.modules import pytree_dataclass, static_field
-from binf_tpu.ops.pallas.pairwise import (
-    pairwise_restraint_loss,
-    pairwise_restraint_loss_reference,
-)
+from binf_tpu.ops.pallas.pairwise import pairwise_restraint_loss
 from binf_tpu.pdf import GammaPrior, Posterior
 from binf_tpu.pdf.priors import Prior
 

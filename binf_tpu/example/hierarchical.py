@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from binf_tpu.core.density import Density, ValueDict, VariableSpec
+from binf_tpu.core.density import ValueDict, VariableSpec
 from binf_tpu.core.modules import pytree_dataclass, static_field
 from binf_tpu.model.error import GaussianErrorModel, PoissonErrorModel
 from binf_tpu.model.forward import ForwardModel

@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any
 
 __all__ = ["KernelConfig", "AdaptationConfig", "MeshConfig", "RunConfig"]
 

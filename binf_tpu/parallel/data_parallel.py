@@ -22,7 +22,6 @@ from functools import partial
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P

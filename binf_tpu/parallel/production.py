@@ -20,7 +20,7 @@ has a bare Python loop accumulating samples in RAM, ``example_script.py:32``):
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -11,13 +11,11 @@ adaptation and diagnostics).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 
-from binf_tpu.parallel.mesh import chain_sharding, make_chain_mesh, shard_chains
+from binf_tpu.parallel.mesh import shard_chains
 from binf_tpu.samplers.base import Position, SamplerKernel
 
 Array = jax.Array

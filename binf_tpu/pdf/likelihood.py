@@ -18,7 +18,6 @@ base Density -- no parameter mirroring / ``bind_to`` machinery (reference
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from typing import TYPE_CHECKING, Any
 

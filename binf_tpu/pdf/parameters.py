@@ -23,7 +23,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from binf_tpu.core.density import Density, ValueDict, VariableSpec
 from binf_tpu.core.modules import pytree_dataclass, static_field

@@ -20,8 +20,6 @@ import jax.numpy as jnp
 
 from binf_tpu.core.density import Density, ValueDict, VariableSpec
 from binf_tpu.core.modules import pytree_dataclass, static_field
-from binf_tpu.pdf.likelihood import Likelihood
-
 Array = jax.Array
 
 __all__ = ["Posterior"]

@@ -21,7 +21,6 @@ from __future__ import annotations
 from typing import Any, Callable, NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 Array = jax.Array
 Position = Any  # pytree of named arrays (usually dict[str, Array])

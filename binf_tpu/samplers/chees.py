@@ -34,10 +34,9 @@ import numpy as np
 from jax import lax
 
 from binf_tpu.ops.math import safe_exp
-from binf_tpu.ops.tree import tree_axpy, tree_dot, tree_sub, tree_where
+from binf_tpu.ops.tree import tree_axpy, tree_where
 from binf_tpu.samplers.base import LogDensityFn, Position, SamplerKernel
 from binf_tpu.samplers.adaptation import (
-    DualAveragingState,
     dual_averaging_init,
     dual_averaging_step_size,
     dual_averaging_update,

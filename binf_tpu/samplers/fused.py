@@ -89,7 +89,6 @@ def fused_regression_hmc(
 ) -> FusedRegressionResult:
     """Adaptive warmup (XLA) + fused-kernel sampling on a regression
     posterior.  Returns constrained-space samples (num_samples, chains, ...)."""
-    from binf_tpu.parallel.runner import run_chains
     from binf_tpu.samplers.adaptation import window_adaptation
     from binf_tpu.samplers.hmc import hmc
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 from typing import Any, Callable, NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from binf_tpu.samplers.base import Position, SamplerKernel
 

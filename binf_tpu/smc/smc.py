@@ -27,7 +27,7 @@ The whole run is one ``lax.while_loop`` -- no Python in the loop.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

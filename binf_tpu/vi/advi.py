@@ -16,7 +16,7 @@ The optimization loop is one ``lax.scan``; the whole fit jit-compiles.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
