@@ -1,0 +1,287 @@
+"""Whole-run fused collapsed Gibbs for Bayesian linear regression.
+
+The exact-conditional counterpart of ``fused_hmc``: each sweep draws
+
+    lambda | c ~ Gamma(alpha + n/2, beta + ||Vc - y||^2 / 2)
+    c | lambda ~ N(Sigma (lambda V^T y + mu0/v0), Sigma),
+                 Sigma^{-1} = lambda V^T V + diag(1/v0)
+
+entirely inside one TPU kernel -- the reference's Gibbs workload
+(``binf/example/samplers.py:94-111``) with zero rejections, at device
+speed-of-light:
+
+* Gamma draws: vectorized Marsaglia-Tsang (squeeze + 4 masked retry
+  rounds; acceptance > 99% for shape > 8, leftover failures fall back to
+  the mean) from the on-core PRNG;
+* the per-chain d x d posterior Cholesky + triangular solves are UNROLLED
+  over d (static, d <= 8) with every entry a (1, BC) lane vector -- pure
+  VPU arithmetic, no MXU needed beyond the residual matmul;
+* state persists in VMEM scratch across the sequential grid; draws stream
+  out block-wise (same layout contract as fused_hmc).
+
+Because consecutive draws are exact conditional samples, ESS/draw ~ 1:
+this kernel IS the speed-of-light sampler for the model family.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from binf_tpu.ops.pallas.fused_hmc import _normal, _uniform
+
+Array = jax.Array
+
+__all__ = ["fused_linreg_gibbs_run"]
+
+_GAMMA_ROUNDS = 4
+
+
+def _gamma_draw(shape_param: float, z_rows, u_rows):
+    """Marsaglia-Tsang Gamma(shape, 1) for shape > 1, vectorized on (1, BC).
+
+    z_rows/u_rows: lists of _GAMMA_ROUNDS (1, BC) arrays of N(0,1)/U(0,1).
+    Unaccepted lanes after all rounds fall back to the distribution mean
+    (probability < 1e-8 at the shapes used here).
+    """
+    d = shape_param - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+    out = jnp.full_like(z_rows[0], d)  # fallback: mean
+    done = jnp.zeros_like(z_rows[0], dtype=jnp.bool_)
+    for r in range(_GAMMA_ROUNDS):
+        x = z_rows[r]
+        v = (1.0 + c * x) ** 3
+        ok_v = v > 0.0
+        logv = jnp.log(jnp.maximum(v, 1e-20))
+        accept = ok_v & (
+            jnp.log(jnp.maximum(u_rows[r], 1e-30))
+            < 0.5 * x * x + d - d * v + d * logv
+        )
+        take = accept & ~done
+        out = jnp.where(take, d * v, out)
+        done = done | accept
+    return out
+
+
+def _kernel(
+    seed_ref,  # (1,1) SMEM int32
+    q0_ref,  # (8, BC): rows 0..d-1 coefficients, row d precision
+    vpad_ref,  # (n_pad, 8) design, rows >= n and cols >= d zero
+    y_ref,  # (n_pad, 1)
+    vtv_ref,  # (8, 8): V^T V padded
+    vty_ref,  # (8, 1): V^T y padded
+    ipv_ref,  # (8, 1): 1/prior_var rows 0..d-1
+    pm_ref,  # (8, 1): prior means
+    gz_ref, gu_ref, cz_ref,  # (SB, 8, BC) host noise (host mode) or (1,8,BC)
+    out_ref,  # (SB, 8, BC)
+    q_scr,  # (8, BC) persists across step blocks
+    *,
+    steps_per_block: int,
+    d: int,
+    n_data: float,
+    gamma_shape: float,
+    gamma_rate: float,
+    host_noise: bool,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        q_scr[:] = q0_ref[:]
+
+    if not host_noise:
+        pltpu.prng_seed(seed_ref[0, 0], i * pl.num_programs(1) + j)
+
+    Vp = vpad_ref[:]
+    yv = y_ref[:]
+    a0 = gamma_shape + 0.5 * n_data
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    is_lam_row = (row == d).astype(jnp.float32)
+
+    # (1, BC)-valued matrix entries: P[i][k] etc. as Python lists
+    def vtv(ii, kk):
+        return vtv_ref[ii, kk]
+
+    def sweep(_, carry):
+        q = q_scr[:]  # (8, BC)
+        bc = q.shape[1]
+
+        if host_noise:
+            gz = [gz_ref[carry, r, :][None, :] for r in range(_GAMMA_ROUNDS)]
+            gu = [gu_ref[carry, r, :][None, :] for r in range(_GAMMA_ROUNDS)]
+            cz = cz_ref[carry]  # (8, BC)
+        else:
+            gz = [_normal((1, bc)) for _ in range(_GAMMA_ROUNDS)]
+            gu = [_uniform((1, bc)) for _ in range(_GAMMA_ROUNDS)]
+            cz = _normal((8, bc))
+
+        # -- precision draw: lambda ~ Gamma(a0, beta + SS/2)
+        resid = jnp.dot(Vp, q, preferred_element_type=jnp.float32) - yv
+        ss = jnp.sum(resid * resid, axis=0, keepdims=True)  # (1, BC)
+        rate = gamma_rate + 0.5 * ss
+        lam = _gamma_draw(a0, gz, gu) / rate  # (1, BC)
+
+        # -- coefficient draw: unrolled d x d Cholesky per lane
+        # P = lam * VtV + diag(ipv); b = lam * Vty + pm * ipv
+        P = [[lam * vtv(ii, kk) for kk in range(d)] for ii in range(d)]
+        for ii in range(d):
+            P[ii][ii] = P[ii][ii] + ipv_ref[ii, 0]
+        b = [lam * vty_ref[ii, 0] + pm_ref[ii, 0] * ipv_ref[ii, 0]
+             for ii in range(d)]
+
+        # Cholesky P = L L^T (row-major, L[ii][kk] for kk <= ii)
+        L = [[None] * d for _ in range(d)]
+        for ii in range(d):
+            for kk in range(ii + 1):
+                s = P[ii][kk]
+                for m in range(kk):
+                    s = s - L[ii][m] * L[kk][m]
+                if ii == kk:
+                    L[ii][kk] = jnp.sqrt(jnp.maximum(s, 1e-20))
+                else:
+                    L[ii][kk] = s / L[kk][kk]
+
+        # forward solve L w = b
+        w = [None] * d
+        for ii in range(d):
+            s = b[ii]
+            for m in range(ii):
+                s = s - L[ii][m] * w[m]
+            w[ii] = s / L[ii][ii]
+        # back solve L^T m = w  -> mean
+        mean = [None] * d
+        for ii in reversed(range(d)):
+            s = w[ii]
+            for m in range(ii + 1, d):
+                s = s - L[m][ii] * mean[m]
+            mean[ii] = s / L[ii][ii]
+        # sample: c = mean + L^{-T} z
+        zsol = [None] * d
+        for ii in reversed(range(d)):
+            s = cz[ii, :][None, :]
+            for m in range(ii + 1, d):
+                s = s - L[m][ii] * zsol[m]
+            zsol[ii] = s / L[ii][ii]
+
+        new_q = jnp.zeros_like(q)
+        for ii in range(d):
+            sel = (row == ii).astype(jnp.float32)
+            new_q = new_q + sel * (mean[ii] + zsol[ii])
+        new_q = new_q + is_lam_row * lam
+
+        q_scr[:] = new_q
+        out_ref[carry] = new_q
+        return carry + 1
+
+    jax.lax.fori_loop(0, steps_per_block, sweep, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_steps", "d", "block_chains", "steps_per_block", "interpret",
+        "gamma_shape", "gamma_rate", "host_noise",
+    ),
+)
+def fused_linreg_gibbs_run(
+    q0: Array,  # (C, d+1): coefficients + precision (CONSTRAINED space)
+    seed,
+    V: Array,
+    y: Array,
+    prior_var: Array,
+    gamma_shape: float,
+    gamma_rate: float,
+    *,
+    prior_mean: Array | None = None,
+    num_steps: int,
+    d: int = 4,
+    block_chains: int = 512,
+    steps_per_block: int = 50,
+    interpret: bool = False,
+    host_noise: bool = False,
+):
+    """Run ``num_steps`` exact collapsed-Gibbs sweeps; returns draws
+    (num_steps, C, d+1) with column d the precision."""
+    C = q0.shape[0]
+    n = y.shape[0]
+    assert d <= 8 - 1, "layout supports d <= 7 coefficients"
+    assert C % block_chains == 0 and num_steps % steps_per_block == 0
+    n_pad = ((n + 7) // 8) * 8
+    if prior_mean is None:
+        prior_mean = jnp.zeros((d,), jnp.float32)
+
+    q0_t = jnp.zeros((8, C), jnp.float32).at[: d + 1, :].set(q0.T)
+    vpad = jnp.zeros((n_pad, 8), jnp.float32).at[:n, :d].set(V)
+    ypad = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(y)
+    vtv = jnp.zeros((8, 8), jnp.float32).at[:d, :d].set(V.T @ V)
+    vty = jnp.zeros((8, 1), jnp.float32).at[:d, 0].set(V.T @ y)
+    ipv = jnp.zeros((8, 1), jnp.float32).at[:d, 0].set(1.0 / prior_var)
+    pm = jnp.zeros((8, 1), jnp.float32).at[:d, 0].set(prior_mean)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    if host_noise:
+        kn = jax.random.key(jnp.asarray(seed, jnp.uint32))
+        k1, k2, k3 = jax.random.split(kn, 3)
+        gz = jax.random.normal(k1, (num_steps, 8, C), jnp.float32)
+        gu = jax.random.uniform(k2, (num_steps, 8, C), jnp.float32)
+        cz = jax.random.normal(k3, (num_steps, 8, C), jnp.float32)
+        noise_index = lambda i, j: (j, 0, i)
+    else:
+        gz = jnp.zeros((steps_per_block, 8, block_chains), jnp.float32)
+        gu = jnp.zeros((steps_per_block, 8, block_chains), jnp.float32)
+        cz = jnp.zeros((steps_per_block, 8, block_chains), jnp.float32)
+        noise_index = lambda i, j: (0, 0, 0)
+
+    n_tiles = C // block_chains
+    n_blocks = num_steps // steps_per_block
+
+    kernel = functools.partial(
+        _kernel,
+        steps_per_block=steps_per_block,
+        d=d,
+        n_data=float(n),
+        gamma_shape=float(gamma_shape),
+        gamma_rate=float(gamma_rate),
+        host_noise=host_noise,
+    )
+    noise_spec = pl.BlockSpec(
+        (steps_per_block, 8, block_chains), noise_index, memory_space=pltpu.VMEM
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    draws = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_steps, 8, C), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles, n_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, block_chains), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                const((n_pad, 8)),
+                const((n_pad, 1)),
+                pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                noise_spec, noise_spec, noise_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (steps_per_block, 8, block_chains),
+                lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((8, block_chains), jnp.float32)],
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, q0_t, vpad, ypad, vtv, vty, ipv, pm, gz, gu, cz)
+
+    return jnp.transpose(draws[:, : d + 1, :], (0, 2, 1))
