@@ -83,7 +83,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="binf_tpu")
     ap.add_argument("--model", default="polynomial")
     ap.add_argument("--algorithm", default="hmc",
-                    choices=["hmc", "nuts", "chees", "rwm", "mala", "gibbs", "smc", "advi"])
+                    choices=["hmc", "nuts", "chees", "rwm", "mala", "gibbs", "smc",
+                             "advi", "laplace", "svgd"])
     ap.add_argument("--chains", type=int, default=256)
     ap.add_argument("--warmup", type=int, default=300)
     ap.add_argument("--samples", type=int, default=500)
@@ -153,6 +154,44 @@ def main(argv=None):
             "elapsed_sec": round(elapsed, 3),
             "posterior_means": {
                 k: jnp.mean(v, axis=0).tolist() for k, v in draws.items()
+            },
+        }
+
+    elif args.algorithm == "laplace":
+        from binf_tpu.vi import laplace_approximation, laplace_sample
+
+        result = jax.jit(
+            lambda k: laplace_approximation(posterior, k, num_steps=args.samples * 4,
+                                            transforms=transforms)
+        )(k_run)
+        draws = laplace_sample(posterior, result, k_init, 1000, transforms)
+        jax.block_until_ready(draws)
+        elapsed = time.perf_counter() - t0
+        out = {
+            "model": args.model, "algorithm": "laplace",
+            "converged": bool(result.converged),
+            "log_evidence_laplace": float(result.log_evidence_laplace),
+            "elapsed_sec": round(elapsed, 3),
+            "posterior_means": {
+                k: jnp.mean(v, axis=0).tolist() for k, v in draws.items()
+            },
+        }
+
+    elif args.algorithm == "svgd":
+        from binf_tpu.vi import svgd
+
+        result = jax.jit(
+            lambda k: svgd(posterior, k, num_particles=args.chains,
+                           num_steps=args.samples * 4, transforms=transforms)
+        )(k_run)
+        jax.block_until_ready(result.particles)
+        elapsed = time.perf_counter() - t0
+        out = {
+            "model": args.model, "algorithm": "svgd",
+            "elapsed_sec": round(elapsed, 3),
+            "posterior_means": {
+                k: jnp.mean(v, axis=0).tolist()
+                for k, v in result.particles.items()
             },
         }
 
