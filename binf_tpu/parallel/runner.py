@@ -20,7 +20,32 @@ from binf_tpu.samplers.base import Position, SamplerKernel
 
 Array = jax.Array
 
-__all__ = ["init_chains", "run_chains", "warmup_and_run"]
+__all__ = ["init_chains", "run_chains", "warmup_and_run", "per_chain_step_size_kernel"]
+
+
+def per_chain_step_size_kernel(
+    kernel_builder: Callable[[Array, Any], SamplerKernel],
+    inverse_mass: Any,
+) -> SamplerKernel:
+    """Wrap a kernel builder so each chain carries ITS OWN step size.
+
+    State = ``(inner_state, step_size)``; under ``vmap(kernel.step)`` the
+    step-size leaf maps with the chain axis, so chain ``c`` integrates with
+    ``eps[c]`` (the sampling-phase counterpart of
+    ``window_adaptation(per_chain=True)``).  ``init`` takes
+    ``(position, step_size)``.
+    """
+
+    def init(carry):
+        position, eps = carry
+        return (kernel_builder(eps, inverse_mass).init(position), eps)
+
+    def step(key, carry):
+        inner, eps = carry
+        new_inner, info = kernel_builder(eps, inverse_mass).step(key, inner)
+        return (new_inner, eps), info
+
+    return SamplerKernel(init=init, step=step)
 
 
 def init_chains(
@@ -97,9 +122,13 @@ def warmup_and_run(
     collect: Callable[[Any, Any], Any] | None = None,
     mesh=None,
     jit: bool = True,
+    per_chain_step_size: bool = False,
 ):
     """End-to-end adaptive sampling: window-adapted warmup, then frozen-kernel
     sampling.  ``kernel_builder(step_size, inverse_mass) -> SamplerKernel``.
+
+    ``per_chain_step_size=True`` adapts and samples with an independent
+    step size per chain (see ``window_adaptation(per_chain=True)``).
 
     Returns ``(samples, final_states, adaptation_result)``.
     """
@@ -120,16 +149,34 @@ def warmup_and_run(
             num_steps=num_warmup,
             initial_step_size=initial_step_size,
             target_accept=target_accept,
+            per_chain=per_chain_step_size,
         )
-        kernel = kernel_builder(adapt.step_size, adapt.inverse_mass)
-        final_states, samples = run_chains(
-            kernel,
-            key_sample,
-            adapt.final_states,
-            num_samples,
-            collect=collect,
-            thin=thin,
-        )
+        if per_chain_step_size:
+            kernel = per_chain_step_size_kernel(kernel_builder, adapt.inverse_mass)
+            run_states = (adapt.final_states, adapt.step_size)
+            inner_collect = collect if collect is not None else (
+                lambda state, info: state.position
+            )
+            wrapped_collect = lambda carry, info: inner_collect(carry[0], info)
+            final_states, samples = run_chains(
+                kernel,
+                key_sample,
+                run_states,
+                num_samples,
+                collect=wrapped_collect,
+                thin=thin,
+            )
+            final_states = final_states[0]
+        else:
+            kernel = kernel_builder(adapt.step_size, adapt.inverse_mass)
+            final_states, samples = run_chains(
+                kernel,
+                key_sample,
+                adapt.final_states,
+                num_samples,
+                collect=collect,
+                thin=thin,
+            )
         return samples, final_states, adapt
 
     if jit:

@@ -30,6 +30,14 @@ from binf_tpu.samplers.mala import MALAInfo, MALAState, mala
 from binf_tpu.samplers.nuts import NUTSInfo, NUTSState, nuts
 from binf_tpu.samplers.quadratic_hmc import QuadraticHMCState, quadratic_hmc
 from binf_tpu.samplers.rwm import RWMInfo, RWMState, rwm
+from binf_tpu.samplers.slice import (
+    EllipticalSliceInfo,
+    EllipticalSliceState,
+    SliceInfo,
+    SliceState,
+    elliptical_slice,
+    slice_sampler,
+)
 from binf_tpu.samplers.tempering import PTInfo, PTState, geometric_betas, parallel_tempering
 
 __all__ = [
@@ -75,4 +83,10 @@ __all__ = [
     "RWMInfo",
     "RWMState",
     "rwm",
+    "EllipticalSliceInfo",
+    "EllipticalSliceState",
+    "SliceInfo",
+    "SliceState",
+    "elliptical_slice",
+    "slice_sampler",
 ]

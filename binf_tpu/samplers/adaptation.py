@@ -51,12 +51,17 @@ class DualAveragingState(NamedTuple):
 
 
 def dual_averaging_init(initial_step_size: float | Array) -> DualAveragingState:
+    """Initialize dual averaging.  ``initial_step_size`` may be a scalar
+    (one pooled step size) or a ``(n_chains,)`` array (independent per-chain
+    step sizes, cf. arXiv:2503.17405 section on per-chain adaptation); every
+    state leaf takes its shape so the state pytree is scan-stable."""
     log_eps = jnp.log(jnp.asarray(initial_step_size, jnp.float32))
+    zeros = jnp.zeros_like(log_eps)
     return DualAveragingState(
         log_step=log_eps,
-        log_step_avg=jnp.zeros(()),
-        gradient_avg=jnp.zeros(()),
-        count=jnp.zeros(()),
+        log_step_avg=zeros,
+        gradient_avg=zeros,
+        count=zeros,
         mu=jnp.log(10.0) + log_eps,
     )
 
@@ -191,6 +196,7 @@ def window_adaptation(
     initial_step_size: float = 0.1,
     target_accept: float = 0.8,
     position_template: Any = None,
+    per_chain: bool = False,
 ) -> WindowAdaptationResult:
     """Stan-style warmup over a CHAIN BATCH of states.
 
@@ -204,11 +210,20 @@ def window_adaptation(
       3. fold all chain positions into the Welford mass estimator during
          slow windows.
 
+    ``per_chain=True`` switches step-size adaptation from one pooled value
+    to an INDEPENDENT dual-averaging state per chain driven by that chain's
+    own acceptance probability (arXiv:2503.17405): ``step_size`` in the
+    result is then a ``(n_chains,)`` array and the kernel step is vmapped
+    over it.  The mass matrix stays cross-chain pooled either way (pooling
+    positions is strictly more data; per-chain metrics would decouple the
+    chains' stationary preconditioner for no benefit).
+
     Returns frozen ``(step_size, inverse_mass)`` and the warmed-up states.
     """
     if position_template is None:
         position_template = jax.tree.map(lambda x: x[0], initial_states.position)
 
+    n_chains = jax.tree.leaves(initial_states.position)[0].shape[0]
     slow_mask, reset_mask = _stan_window_schedule(num_steps)
 
     def make_step(step_size, inverse_mass):
@@ -217,16 +232,21 @@ def window_adaptation(
     def body(carry, inputs):
         states, da, wf, inverse_mass = carry
         k, is_slow, is_reset = inputs
-        n_chains = jax.tree.leaves(states.position)[0].shape[0]
         keys = jax.random.split(k, n_chains)
 
         eps = jnp.exp(da.log_step)
-        step = make_step(eps, inverse_mass)
-        states, infos = jax.vmap(step)(keys, states)
-
-        # cross-chain pooled acceptance -> one global step size
-        mean_accept = jnp.mean(infos.acceptance_prob)
-        da = dual_averaging_update(da, mean_accept, target=target_accept)
+        if per_chain:
+            # step size enters as a vmapped argument: chain c integrates
+            # with its own eps[c]
+            step = lambda kk, s, e: make_step(e, inverse_mass)(kk, s)
+            states, infos = jax.vmap(step)(keys, states, eps)
+            accept_stat = infos.acceptance_prob  # (n_chains,)
+        else:
+            step = make_step(eps, inverse_mass)
+            states, infos = jax.vmap(step)(keys, states)
+            # cross-chain pooled acceptance -> one global step size
+            accept_stat = jnp.mean(infos.acceptance_prob)
+        da = dual_averaging_update(da, accept_stat, target=target_accept)
 
         # mass-matrix accumulation in slow windows
         wf_updated = welford_batch_update(wf, states.position)
@@ -247,9 +267,12 @@ def window_adaptation(
             dual_averaging_init(jnp.exp(da.log_step)),
             da,
         )
-        return (states, da, wf, inverse_mass), mean_accept
+        return (states, da, wf, inverse_mass), jnp.mean(infos.acceptance_prob)
 
-    da0 = dual_averaging_init(initial_step_size)
+    eps0 = jnp.asarray(initial_step_size, jnp.float32)
+    if per_chain and eps0.ndim == 0:
+        eps0 = jnp.full((n_chains,), eps0)
+    da0 = dual_averaging_init(eps0)
     wf0 = welford_init(position_template)
     im0 = jax.tree.map(jnp.ones_like, position_template)
 
