@@ -1,0 +1,392 @@
+"""Whole-run fused HMC for ARBITRARY potentials (the general path).
+
+``fused_hmc.py`` proved the shape of the win: on small models the XLA
+scan(vmap(step)) path is latency-bound, and executing the entire sampling
+run inside one ``pallas_call`` removes the per-step overhead wholesale.
+That kernel is specialized to linear regression; this module generalizes it
+into a "potential -> fused sampler" compiler:
+
+    U = potential(q_tile, consts)        # user-supplied, pure jnp
+    fused_potential_hmc_run(U, ...)      # whole run in one kernel
+
+The potential is written in TILE FORM against the kernel's native layout --
+``q_tile`` is ``(D_pad, BC)`` float32 with state coordinates in sublanes
+(rows; rows >= D are zero padding) and chains in lanes (columns) -- so every
+elementwise op is lane-parallel across chains and any data contraction is an
+MXU matmul ``(n, D_pad) @ (D_pad, BC)``.  ``consts`` is a dict of read-only
+arrays (data, hyperparameters) that live VMEM-resident for the whole run.
+The gradient is NOT hand-written: ``jax.vjp`` linearizes the potential at
+trace time inside the kernel, so the same autodiff that drives the XLA path
+drives the fused path (SURVEY.md section 7 design pivot 3).
+
+For potentials expressible per-chain there is an adapter,
+:func:`tile_potential_from_scalar`, that lifts an ordinary
+``logdensity(position_dict) -> scalar`` into tile form with ``jax.vmap``
+over the lane axis.
+
+Reference lineage: replaces the reference's per-sweep Python loop
+(``example_script.py:33-37``) + ``HMCSampler.sample``
+(``binf/samplers/hmc.py:136-164``) for any model, not just regression.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+__all__ = [
+    "fused_potential_hmc_run",
+    "tile_potential_from_scalar",
+    "pack_positions",
+    "unpack_draws",
+    "pack_template",
+]
+
+_TWO_PI = 2.0 * math.pi
+
+
+# -- position packing ---------------------------------------------------------
+
+
+def pack_template(template: dict) -> list[tuple[str, tuple, int]]:
+    """Flattening spec for a position dict: sorted (name, shape, size).
+    Sorted-name order mirrors the reference Gibbs sweep order
+    (``binf/samplers/gibbs.py:144``)."""
+    spec = []
+    for name in sorted(template):
+        shape = tuple(jnp.shape(template[name]))
+        size = int(jnp.prod(jnp.asarray(shape))) if shape else 1
+        spec.append((name, shape, size))
+    return spec
+
+
+def pack_positions(positions: dict, spec=None) -> Array:
+    """(chain-batched) position dict -> (C, D) flat matrix."""
+    if spec is None:
+        spec = pack_template({k: v[0] for k, v in positions.items()})
+    cols = []
+    for name, shape, size in spec:
+        x = positions[name]
+        cols.append(x.reshape(x.shape[0], size))
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_draws(draws: Array, spec) -> dict:
+    """(..., D) flat draws -> dict of (..., *shape) arrays."""
+    out = {}
+    offset = 0
+    for name, shape, size in spec:
+        block = draws[..., offset : offset + size]
+        out[name] = block.reshape(draws.shape[:-1] + shape)
+        offset += size
+    return out
+
+
+# -- scalar-logdensity adapter ------------------------------------------------
+
+
+def tile_potential_from_scalar(logdensity_fn: Callable, template: dict):
+    """Compile ``logdensity(position_dict) -> scalar`` into tile form.
+
+    This is the "model -> fused kernel" front end: any per-chain log density
+    built from the model DSL (or by hand) is lifted into the kernel's
+    ``(D_pad, BC)`` layout.  Two transformations happen here:
+
+    1. the log density is traced to a jaxpr and every array it closes over
+       (data, hyperparameters) is hoisted out of the jaxpr's constant pool
+       -- Pallas kernels cannot capture constants, so these become VMEM
+       operands and are sliced back to their exact shapes inside the kernel,
+       where ``eval_jaxpr`` re-binds them;
+    2. ``jax.vmap`` over the lane axis batches the per-chain evaluation
+       across the chain tile.  Inside a Pallas kernel the vmap is just
+       tracing: the resulting batched ops lower like any other jnp code.
+
+    Returns ``(potential, consts, spec)`` ready for
+    :func:`fused_potential_hmc_run`; ``spec`` is the flattening spec for
+    :func:`pack_positions` / :func:`unpack_draws`.  Build ONCE and reuse --
+    the potential's identity is a jit static argument of the run.
+    """
+    spec = pack_template(template)
+    D = sum(size for _, _, size in spec)
+
+    def neg_logdensity_flat(q_vec):
+        pos = {}
+        offset = 0
+        for name, shape, size in spec:
+            pos[name] = q_vec[offset : offset + size].reshape(shape)
+            offset += size
+        return -logdensity_fn(pos)
+
+    closed_jaxpr = jax.make_jaxpr(neg_logdensity_flat)(jnp.zeros((D,), jnp.float32))
+    metas = []
+    consts = {}
+    for idx, arr in enumerate(closed_jaxpr.consts):
+        arr = jnp.asarray(arr)
+        if arr.ndim > 2:
+            raise ValueError(
+                "closed-over constants must be at most 2-D for the fused "
+                f"path; got shape {arr.shape} (reshape the data upstream)"
+            )
+        name = f"__c{idx}"
+        metas.append((name, arr.shape, arr.dtype))
+        consts[name] = arr
+
+    def potential(q_tile, kernel_consts):
+        rebuilt = []
+        for name, shape, dtype in metas:
+            v = kernel_consts[name]  # padded (rows8, cols) f32
+            if len(shape) == 0:
+                r = v[0, 0]
+            elif len(shape) == 1:
+                r = v[: shape[0], 0]
+            else:
+                r = v[: shape[0], : shape[1]]
+            rebuilt.append(r.astype(dtype))
+
+        def single(q_vec):
+            # rows >= D are padding; the jaxpr was traced at exactly (D,)
+            (out,) = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, rebuilt, q_vec[:D])
+            return out
+
+        u = jax.vmap(single, in_axes=1)(q_tile)  # (BC,)
+        return u[None, :]
+
+    return potential, consts, spec
+
+
+# -- the kernel ---------------------------------------------------------------
+
+
+def _uniform(shape):
+    bits = pltpu.prng_random_bits(shape)
+    ubits = jnp.bitwise_and(bits, jnp.int32((1 << 23) - 1))
+    return ubits.astype(jnp.float32) * (1.0 / (1 << 23)) + (0.5 / (1 << 23))
+
+
+def _normal(shape):
+    u1 = jnp.maximum(_uniform(shape), 1e-12)
+    u2 = _uniform(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
+def _kernel(
+    *refs,
+    potential,
+    const_names,
+    steps_per_block: int,
+    num_leapfrog: int,
+    d: int,
+    host_noise: bool,
+):
+    (seed_ref, eps_ref, q0_ref, im_ref), rest = refs[:4], refs[4:]
+    n_consts = len(const_names)
+    const_refs = rest[:n_consts]
+    mom_ref, unif_ref, out_ref, acc_ref, q_scr = rest[n_consts:]
+
+    i = pl.program_id(0)  # chain tile
+    j = pl.program_id(1)  # step block
+    eps = eps_ref[0, 0]
+
+    @pl.when(j == 0)
+    def _():
+        q_scr[:] = q0_ref[:]
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    if not host_noise:
+        pltpu.prng_seed(seed_ref[0, 0], i * pl.num_programs(1) + j)
+
+    consts = {name: ref[:] for name, ref in zip(const_names, const_refs)}
+    im = im_ref[:]  # (D_pad, 1) inverse-mass diag, zero on padding rows
+    dp = q_scr.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (dp, 1), 0)
+    active = (row < d).astype(jnp.float32)
+
+    def value_and_grad(q):
+        u, vjp = jax.vjp(lambda qq: potential(qq, consts), q)
+        (g,) = vjp(jnp.ones_like(u))
+        return u, g * active
+
+    def hmc_step(carry, _=None):
+        q = q_scr[:]
+        if host_noise:
+            z = mom_ref[carry]
+        else:
+            z = _normal(q.shape)
+        p = z / jnp.sqrt(jnp.maximum(im, 1e-20)) * active
+
+        U0, g = value_and_grad(q)
+        E0 = U0 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
+
+        p = p - 0.5 * eps * g
+
+        def leap(_, qp):
+            q, p = qp
+            q = q + eps * p * im
+            _, g = value_and_grad(q)
+            p = p - eps * g
+            return (q, p)
+
+        q_new, p = jax.lax.fori_loop(0, num_leapfrog, leap, (q, p))
+        _, g_end = value_and_grad(q_new)
+        p = p + 0.5 * eps * g_end
+
+        U1, _ = value_and_grad(q_new)
+        E1 = U1 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
+
+        if host_noise:
+            u = unif_ref[carry]
+        else:
+            u = _uniform(E0.shape)
+        log_u = jnp.log(jnp.maximum(u, 1e-30))
+        accept = log_u < (E0 - E1)
+        q = jnp.where(accept, q_new, q)
+        q_scr[:] = q
+        out_ref[carry] = q
+        acc_ref[0, 0] += jnp.mean(accept.astype(jnp.float32))
+        return carry + 1
+
+    jax.lax.fori_loop(0, steps_per_block, hmc_step, 0)
+
+
+def _pad_const(x: Array) -> Array:
+    """Canonicalize a constant to an f32 2D array with sublane-aligned rows.
+    0-D -> (1, 1); 1-D (n,) -> (ceil8(n), 1); 2-D (n, m) -> (ceil8(n), m);
+    padding rows are ZERO -- potentials must be padding-safe (zero rows must
+    contribute zero, e.g. residuals of all-zero data rows)."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 0:
+        x = x.reshape(1, 1)
+    elif x.ndim == 1:
+        x = x[:, None]
+    elif x.ndim != 2:
+        raise ValueError("consts must be 0-, 1- or 2-D")
+    n = x.shape[0]
+    n_pad = ((n + 7) // 8) * 8
+    if n_pad != n:
+        x = jnp.zeros((n_pad, x.shape[1]), jnp.float32).at[:n].set(x)
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "potential", "num_steps", "num_leapfrog", "block_chains",
+        "steps_per_block", "interpret", "host_noise",
+    ),
+)
+def fused_potential_hmc_run(
+    potential,  # static: (q_tile (D_pad, BC), consts) -> U (1, BC)
+    q0: Array,  # (C, D) flat unconstrained positions
+    seed,
+    step_size,
+    inverse_mass: Array,  # (D,)
+    consts: dict[str, Array],
+    *,
+    num_steps: int,
+    num_leapfrog: int = 10,
+    block_chains: int = 512,
+    steps_per_block: int = 50,
+    interpret: bool = False,
+    host_noise: bool = False,
+):
+    """Run ``num_steps`` fused HMC sweeps of ``exp(-potential)``.
+
+    Returns ``(draws (num_steps, C, D), accept_rate)``.  Layout, PRNG, and
+    streaming semantics are identical to ``fused_linreg_hmc_run`` -- see the
+    module docstring for the tile contract.
+    """
+    C, D = q0.shape
+    assert C % block_chains == 0 and num_steps % steps_per_block == 0
+    d_pad = ((D + 7) // 8) * 8
+
+    q0_t = jnp.zeros((d_pad, C), jnp.float32).at[:D, :].set(q0.T)
+    im = jnp.zeros((d_pad, 1), jnp.float32).at[:D, 0].set(inverse_mass)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    eps_arr = jnp.asarray(step_size, jnp.float32).reshape(1, 1)
+
+    const_names = tuple(sorted(consts))
+    const_arrays = [_pad_const(consts[k]) for k in const_names]
+
+    if host_noise:
+        kn = jax.random.key(jnp.asarray(seed, jnp.uint32))
+        k1, k2 = jax.random.split(kn)
+        mom = jax.random.normal(k1, (num_steps, d_pad, C), jnp.float32)
+        unif = jax.random.uniform(k2, (num_steps, 1, C), jnp.float32)
+    else:
+        mom = jnp.zeros((steps_per_block, d_pad, C), jnp.float32)
+        unif = jnp.zeros((steps_per_block, 1, C), jnp.float32)
+
+    n_tiles = C // block_chains
+    n_blocks = num_steps // steps_per_block
+
+    kernel = functools.partial(
+        _kernel,
+        potential=potential,
+        const_names=const_names,
+        steps_per_block=steps_per_block,
+        num_leapfrog=num_leapfrog,
+        d=D,
+        host_noise=host_noise,
+    )
+    if host_noise:
+        noise_index = lambda i, j: (j, 0, i)
+    else:
+        noise_index = lambda i, j: (0, 0, i)
+
+    fixed = lambda i, j: (0, 0)
+    const_specs = [
+        pl.BlockSpec(arr.shape, fixed, memory_space=pltpu.VMEM)
+        for arr in const_arrays
+    ]
+
+    draws, acc = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_steps, d_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles, n_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
+                pl.BlockSpec((d_pad, block_chains), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_pad, 1), fixed, memory_space=pltpu.VMEM),
+                *const_specs,
+                pl.BlockSpec((steps_per_block, d_pad, block_chains),
+                             noise_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((steps_per_block, 1, block_chains),
+                             noise_index, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (steps_per_block, d_pad, block_chains),
+                    lambda i, j: (j, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((d_pad, block_chains), jnp.float32)],
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * d_pad * block_chains * num_steps * (num_leapfrog + 3) * 64,
+            bytes_accessed=4 * num_steps * d_pad * C,
+            transcendentals=4 * d_pad * C * num_steps,
+        ),
+    )(seed_arr, eps_arr, q0_t, im, *const_arrays, mom, unif)
+
+    accept_rate = acc[0, 0] / (num_steps * n_tiles)
+    return jnp.transpose(draws[:, :D, :], (0, 2, 1)), accept_rate

@@ -1,22 +1,22 @@
-"""High-level driver for the fused whole-run HMC kernel.
+"""High-level drivers for the fused whole-run HMC kernels.
 
-Bridges the model DSL to ``binf_tpu.ops.pallas.fused_hmc``: given any
-Posterior of the Bayesian-linear-regression family --
+Two entry points, both running warmup on the XLA path and the sampling
+phase inside a single Pallas kernel (~50x lower per-step cost than the
+scan(vmap(step)) path on small models, see docs/performance.md):
 
-    one Likelihood with a Linear/Polynomial forward model and a Gaussian
-    error model, a GammaPrior on the precision, a GaussianPrior on the
-    coefficients --
-
-this introspects the graph (the same pattern as the conjugate blocks,
-reference ``binf/example/samplers.py:14-25``), runs window-adapted warmup on
-the XLA path, then executes the sampling phase inside the single fused TPU
-kernel.  ~50x lower per-step cost than the scan(vmap(step)) path on small
-models (see docs/performance.md).
+* :func:`fused_regression_hmc` -- introspects a Posterior of the
+  Bayesian-linear-regression family (the same graph-introspection pattern
+  as the conjugate blocks, reference ``binf/example/samplers.py:14-25``)
+  and dispatches to the hand-tiled linreg kernel;
+* :func:`fused_model_hmc` -- the GENERAL path: takes any per-chain log
+  density + position template, compiles it into the fused kernel via
+  ``tile_potential_from_scalar`` (trace -> hoist data consts -> vmap over
+  the lane axis), no introspection or hand tiling required.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -27,11 +27,22 @@ from binf_tpu.ops.pallas.fused_hmc import (
     fused_linreg_hmc_run,
     linreg_unconstrained_logdensity,
 )
+from binf_tpu.ops.pallas.fused_potential import (
+    fused_potential_hmc_run,
+    pack_positions,
+    tile_potential_from_scalar,
+    unpack_draws,
+)
 from binf_tpu.pdf.priors import GammaPrior, GaussianPrior
 
 Array = jax.Array
 
-__all__ = ["FusedRegressionResult", "fused_regression_hmc"]
+__all__ = [
+    "FusedRegressionResult",
+    "fused_regression_hmc",
+    "FusedModelResult",
+    "fused_model_hmc",
+]
 
 
 class FusedRegressionResult(NamedTuple):
@@ -155,6 +166,93 @@ def fused_regression_hmc(
     }
     return FusedRegressionResult(
         samples=samples,
+        accept_rate=acc,
+        step_size=adapt.step_size,
+        inverse_mass=im_vec,
+    )
+
+
+class FusedModelResult(NamedTuple):
+    samples: dict[str, Array]  # unconstrained space, (num_samples, C, ...)
+    accept_rate: Array
+    step_size: Array
+    inverse_mass: Array  # flat (D,), pack order = sorted variable names
+
+
+def fused_model_hmc(
+    logdensity_fn: Callable,
+    initial_positions: dict[str, Array],  # chain-batched (C, ...) per leaf
+    key: Array,
+    num_warmup: int = 400,
+    num_samples: int = 1000,
+    num_leapfrog: int = 10,
+    initial_step_size: float = 0.05,
+    block_chains: int = 512,
+    host_noise: bool | None = None,
+    interpret: bool | None = None,
+) -> FusedModelResult:
+    """Whole-run fused HMC for an ARBITRARY model.
+
+    ``logdensity_fn`` is a per-chain log density over a position dict in
+    UNCONSTRAINED space (wrap constrained variables with
+    ``pdf.transforms.transform_logdensity`` first); every array it closes
+    over (data, hyperparameters) is hoisted into VMEM-resident kernel
+    operands automatically.  Warmup (Stan windows, pooled dual averaging +
+    cross-chain diagonal mass) runs on the XLA path; the sampling phase is
+    ONE ``pallas_call``.  Returns unconstrained draws -- apply
+    ``transforms.constrain`` / ``jnp.exp`` downstream as the model requires.
+    """
+    from binf_tpu.samplers.adaptation import window_adaptation
+    from binf_tpu.samplers.hmc import hmc
+
+    n_chains = jax.tree.leaves(initial_positions)[0].shape[0]
+    template = jax.tree.map(lambda x: x[0], initial_positions)
+    potential, consts, spec = tile_potential_from_scalar(logdensity_fn, template)
+
+    on_cpu = jax.default_backend() == "cpu"
+    if host_noise is None:
+        host_noise = on_cpu
+    if interpret is None:
+        interpret = on_cpu
+
+    def builder(step_size, inverse_mass):
+        return hmc(logdensity_fn, step_size, num_leapfrog, inverse_mass)
+
+    k_warm, k_run = jax.random.split(key)
+
+    @jax.jit
+    def warm(positions, k):
+        states = jax.vmap(builder(initial_step_size, None).init)(positions)
+        return window_adaptation(
+            builder, states, k, num_steps=num_warmup,
+            initial_step_size=initial_step_size,
+        )
+
+    adapt = warm(initial_positions, k_warm)
+
+    q0 = pack_positions(adapt.final_states.position, spec)
+    im_vec = pack_positions(
+        jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + jnp.shape(x)),
+                     adapt.inverse_mass),
+        spec,
+    )[0]
+    seed = jax.random.randint(k_run, (), 0, 2**31 - 1)
+
+    bc = min(block_chains, n_chains)
+    spb = min(50, num_samples)
+    while num_samples % spb:
+        spb -= 1
+    draws, acc = fused_potential_hmc_run(
+        potential, q0, seed, adapt.step_size, im_vec, consts,
+        num_steps=num_samples,
+        num_leapfrog=num_leapfrog,
+        block_chains=bc,
+        steps_per_block=spb,
+        interpret=interpret,
+        host_noise=host_noise,
+    )
+    return FusedModelResult(
+        samples=unpack_draws(draws, spec),
         accept_rate=acc,
         step_size=adapt.step_size,
         inverse_mass=im_vec,
