@@ -9,7 +9,8 @@ checkpointing -- driven by the typed config system (`io/config.py`).
         --samples 500 --summary-out results.json
 
 Registered models: ``polynomial`` (reference workload), ``hierarchical``
-(Gaussian+Poisson channels), ``chromatin`` (distance restraints).
+(Gaussian+Poisson channels), ``logistic`` (Bernoulli GLM), ``chromatin``
+(distance restraints).
 """
 
 from __future__ import annotations
@@ -59,6 +60,17 @@ def build_model(name: str, key):
 
         return post, init_fn, {"precision": LogTransform}
 
+    if name == "logistic":
+        from binf_tpu.example.logistic import (
+            initial_positions,
+            make_logistic_posterior,
+            synthetic_logistic_data,
+        )
+
+        X, y = synthetic_logistic_data(key)
+        post = make_logistic_posterior(X, y)
+        return post, initial_positions, {}
+
     if name == "chromatin":
         from binf_tpu.example.chromatin import (
             make_chromatin_posterior,
@@ -76,7 +88,9 @@ def build_model(name: str, key):
 
         return post, init_fn, {"precision": LogTransform}
 
-    raise SystemExit(f"unknown model {name!r}; choose polynomial|hierarchical|chromatin")
+    raise SystemExit(
+        f"unknown model {name!r}; choose polynomial|hierarchical|logistic|chromatin"
+    )
 
 
 def main(argv=None):
@@ -84,7 +98,7 @@ def main(argv=None):
     ap.add_argument("--model", default="polynomial")
     ap.add_argument("--algorithm", default="hmc",
                     choices=["hmc", "nuts", "chees", "rwm", "mala", "gibbs", "smc",
-                             "advi", "laplace", "svgd"])
+                             "advi", "laplace", "svgd", "fused"])
     ap.add_argument("--chains", type=int, default=256)
     ap.add_argument("--warmup", type=int, default=300)
     ap.add_argument("--samples", type=int, default=500)
@@ -209,6 +223,28 @@ def main(argv=None):
         jax.block_until_ready(samples)
         elapsed = time.perf_counter() - t0
         out = _summarize(args, samples, elapsed, burn=args.samples // 4)
+
+    elif args.algorithm == "fused":
+        # whole-run fused HMC kernel (general path): works for ANY model --
+        # the log density is compiled into the kernel via
+        # tile_potential_from_scalar
+        from binf_tpu.samplers.fused import fused_model_hmc
+
+        logdensity = transform_logdensity(
+            lambda p: posterior.log_prob(p), transforms
+        )
+        positions = init_fn(args.chains, key=k_init)
+        u_positions = _unconstrain_batch(transforms, positions)
+        result = fused_model_hmc(
+            logdensity, u_positions, k_run,
+            num_warmup=args.warmup, num_samples=args.samples,
+            initial_step_size=args.step_size,
+        )
+        jax.block_until_ready(result.samples)
+        elapsed = time.perf_counter() - t0
+        samples = _constrain_batch(transforms, result.samples)
+        out = _summarize(args, samples, elapsed, burn=args.samples // 4)
+        out["accept_rate"] = round(float(result.accept_rate), 4)
 
     else:  # gradient samplers via adaptive warmup
         logdensity = transform_logdensity(

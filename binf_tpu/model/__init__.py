@@ -1,5 +1,6 @@
 from binf_tpu.model.error import (
     MOCK_DATA,
+    BernoulliErrorModel,
     ErrorModel,
     GaussianErrorModel,
     LaplaceErrorModel,
@@ -17,6 +18,7 @@ from binf_tpu.model.forward import (
 
 __all__ = [
     "MOCK_DATA",
+    "BernoulliErrorModel",
     "ErrorModel",
     "ForwardModel",
     "GaussianErrorModel",

@@ -30,6 +30,7 @@ __all__ = [
     "LaplaceErrorModel",
     "PoissonErrorModel",
     "LogNormalErrorModel",
+    "BernoulliErrorModel",
     "MOCK_DATA",
 ]
 
@@ -167,6 +168,32 @@ class PoissonErrorModel(ErrorModel):
         mock = values[MOCK_DATA]
         rate = jnp.exp(mock) if self.log_link else jnp.maximum(mock, 1e-10)
         return jnp.sum(dist.poisson_log_prob(self.data, rate))
+
+
+@pytree_dataclass
+class BernoulliErrorModel(ErrorModel):
+    """Bernoulli observations with logits = mock_data (classification / GLMs).
+
+    The forward model produces the linear predictor; no extra noise
+    variables.  log p = sum_i [ y_i * eta_i - log(1 + exp(eta_i)) ],
+    computed via the stable softplus form.
+    """
+
+    data: Array  # 0/1 labels, float32
+    fixed: ValueDict
+    name: str = static_field(default="bernoulli_error")
+
+    @classmethod
+    def create(cls, data, name: str = "bernoulli_error"):
+        return cls(data=jnp.asarray(data, jnp.float32), fixed={}, name=name)
+
+    @property
+    def variable_specs(self) -> tuple[VariableSpec, ...]:
+        return (VariableSpec(MOCK_DATA, shape=self.data.shape, differentiable=True),)
+
+    def _log_prob(self, values: ValueDict) -> Array:
+        logits = values[MOCK_DATA]
+        return jnp.sum(dist.bernoulli_log_prob(self.data, logits))
 
 
 @pytree_dataclass

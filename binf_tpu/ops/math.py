@@ -23,6 +23,8 @@ __all__ = [
     "safe_exp",
     "safe_log",
     "log_sum_exp",
+    "lgamma",
+    "i0e",
     "vandermonde",
     "polyval",
     "WelfordState",
@@ -51,6 +53,66 @@ def safe_log(x: Array, eps: float = 1e-38) -> Array:
 def log_sum_exp(x: Array, axis: int | None = None, keepdims: bool = False) -> Array:
     """Numerically stable log(sum(exp(x)))."""
     return jax.scipy.special.logsumexp(x, axis=axis, keepdims=keepdims)
+
+
+# Lanczos approximation (g=7, n=9).  Rationale for not using
+# jax.lax.lgamma: the lgamma primitive has no Pallas/Mosaic TPU lowering, so
+# any log density containing it (Poisson, Gamma, Student-t, ...) could not be
+# compiled into the fused whole-run kernels.  This formulation uses only
+# add/div/log/sin -- all Mosaic-supported -- and is accurate to ~1e-6
+# relative in float32, with well-behaved autodiff (its derivative is a
+# rational-plus-log expression, effectively digamma).
+_LANCZOS_G = 7.0
+_LANCZOS_COEF = (
+    0.99999999999980993,
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+_HALF_LOG_2PI = 0.9189385332046727
+
+
+def lgamma(x: Array) -> Array:
+    """log Gamma(x) for x > 0, in Mosaic-lowerable primitives only.
+
+    Matches ``jax.scipy.special.gammaln`` to float32 precision on (0, inf);
+    negative arguments are out of scope (all framework call sites pass
+    positive concentrations / counts + 1).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    # reflection for x < 0.5 keeps the Lanczos series in its accurate range
+    small = x < 0.5
+    z = jnp.where(small, 1.0 - x, x) - 1.0
+    series = _LANCZOS_COEF[0]
+    for i, c in enumerate(_LANCZOS_COEF[1:], start=1):
+        series = series + c / (z + i)
+    t = z + _LANCZOS_G + 0.5
+    main = _HALF_LOG_2PI + (z + 0.5) * jnp.log(t) - t + jnp.log(series)
+    sin_pix = jnp.sin(jnp.pi * jnp.where(small, x, 0.5))  # safe operand
+    reflected = jnp.log(jnp.pi / jnp.maximum(jnp.abs(sin_pix), 1e-30)) - main
+    return jnp.where(small, reflected, main)
+
+
+# Abramowitz & Stegun 9.8.1 / 9.8.2 polynomial fits -- same rationale as
+# lgamma: i0e has no Mosaic lowering.
+def i0e(x: Array) -> Array:
+    """exp(-|x|) * I0(x) in Mosaic-lowerable primitives (f32, ~1e-7 abs)."""
+    ax = jnp.abs(jnp.asarray(x, jnp.float32))
+    t_small = (ax / 3.75) ** 2
+    p_small = 1.0 + t_small * (3.5156229 + t_small * (3.0899424 + t_small * (
+        1.2067492 + t_small * (0.2659732 + t_small * (0.0360768 + t_small * 0.0045813)))))
+    small = p_small * jnp.exp(-ax)
+    t_big = 3.75 / jnp.maximum(ax, 3.75)
+    p_big = 0.39894228 + t_big * (0.01328592 + t_big * (0.00225319 + t_big * (
+        -0.00157565 + t_big * (0.00916281 + t_big * (-0.02057706 + t_big * (
+            0.02635537 + t_big * (-0.01647633 + t_big * 0.00392377)))))))
+    big = p_big / jnp.sqrt(jnp.maximum(ax, 3.75))
+    return jnp.where(ax <= 3.75, small, big)
 
 
 def vandermonde(x: Array, n: int, dtype=None) -> Array:

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from binf_tpu.ops.pallas.tile_interpreter import LaneTile, eval_jaxpr_lanes
+
 Array = jax.Array
 
 __all__ = [
@@ -105,9 +107,11 @@ def tile_potential_from_scalar(logdensity_fn: Callable, template: dict):
        -- Pallas kernels cannot capture constants, so these become VMEM
        operands and are sliced back to their exact shapes inside the kernel,
        where ``eval_jaxpr`` re-binds them;
-    2. ``jax.vmap`` over the lane axis batches the per-chain evaluation
-       across the chain tile.  Inside a Pallas kernel the vmap is just
-       tracing: the resulting batched ops lower like any other jnp code.
+    2. the jaxpr is evaluated with the lane-batching interpreter
+       (``tile_interpreter.eval_jaxpr_lanes``): chains ride the lane axis
+       end to end, so per-chain reshapes/slices/matmuls lower to
+       lane-preserving Mosaic ops (``jax.vmap`` would move the batch axis
+       to the front and produce lane-splitting shape casts Mosaic rejects).
 
     Returns ``(potential, consts, spec)`` ready for
     :func:`fused_potential_hmc_run`; ``spec`` is the flattening spec for
@@ -151,13 +155,11 @@ def tile_potential_from_scalar(logdensity_fn: Callable, template: dict):
                 r = v[: shape[0], : shape[1]]
             rebuilt.append(r.astype(dtype))
 
-        def single(q_vec):
-            # rows >= D are padding; the jaxpr was traced at exactly (D,)
-            (out,) = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, rebuilt, q_vec[:D])
-            return out
-
-        u = jax.vmap(single, in_axes=1)(q_tile)  # (BC,)
-        return u[None, :]
+        # rows >= D are padding; the jaxpr was traced at exactly (D,)
+        (out,) = eval_jaxpr_lanes(
+            closed_jaxpr.jaxpr, rebuilt, LaneTile(q_tile[:D])
+        )
+        return out.arr.reshape(1, q_tile.shape[1])
 
     return potential, consts, spec
 

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy import special as jsp
 
+from binf_tpu.ops.math import i0e, lgamma
+
 Array = jax.Array
 
 __all__ = [
@@ -99,7 +101,7 @@ def gamma_log_prob(x: Array, concentration: Array, rate: Array = 1.0) -> Array:
     """
     a = jnp.asarray(concentration, dtype=jnp.result_type(x))
     b = jnp.asarray(rate, dtype=jnp.result_type(x))
-    lp = (a - 1.0) * jnp.log(x) - b * x + a * jnp.log(b) - jsp.gammaln(a)
+    lp = (a - 1.0) * jnp.log(x) - b * x + a * jnp.log(b) - lgamma(a)
     return jnp.where(x > 0, lp, -jnp.inf)
 
 
@@ -109,7 +111,7 @@ def gamma_sample(key: Array, concentration: Array, rate: Array = 1.0, shape=()) 
 
 def inverse_gamma_log_prob(x: Array, concentration: Array, scale: Array) -> Array:
     a, b = concentration, scale
-    lp = a * jnp.log(b) - jsp.gammaln(a) - (a + 1.0) * jnp.log(x) - b / x
+    lp = a * jnp.log(b) - lgamma(a) - (a + 1.0) * jnp.log(x) - b / x
     return jnp.where(x > 0, lp, -jnp.inf)
 
 
@@ -130,9 +132,9 @@ def beta_log_prob(x: Array, a: Array, b: Array) -> Array:
     lp = (
         (a - 1.0) * jnp.log(x)
         + (b - 1.0) * jnp.log1p(-x)
-        + jsp.gammaln(a + b)
-        - jsp.gammaln(a)
-        - jsp.gammaln(b)
+        + lgamma(a + b)
+        - lgamma(a)
+        - lgamma(b)
     )
     return jnp.where((x > 0) & (x < 1), lp, -jnp.inf)
 
@@ -145,8 +147,8 @@ def student_t_log_prob(x: Array, df: Array, loc: Array = 0.0, scale: Array = 1.0
     z = (x - loc) / scale
     half = 0.5 * (df + 1.0)
     return (
-        jsp.gammaln(half)
-        - jsp.gammaln(0.5 * df)
+        lgamma(half)
+        - lgamma(0.5 * df)
         - 0.5 * jnp.log(df * math.pi)
         - jnp.log(scale)
         - half * jnp.log1p(z * z / df)
@@ -169,7 +171,7 @@ def lognormal_log_prob(x: Array, loc: Array = 0.0, scale: Array = 1.0) -> Array:
 
 def poisson_log_prob(k: Array, rate: Array) -> Array:
     k = jnp.asarray(k, dtype=jnp.result_type(rate))
-    return k * jnp.log(rate) - rate - jsp.gammaln(k + 1.0)
+    return k * jnp.log(rate) - rate - lgamma(k + 1.0)
 
 
 def bernoulli_log_prob(x: Array, logits: Array) -> Array:
@@ -182,7 +184,7 @@ def binomial_log_prob(k: Array, n: Array, logits: Array) -> Array:
     """k successes in n trials, success log-odds = logits."""
     k = jnp.asarray(k, dtype=jnp.result_type(logits))
     n = jnp.asarray(n, dtype=jnp.result_type(logits))
-    log_comb = jsp.gammaln(n + 1.0) - jsp.gammaln(k + 1.0) - jsp.gammaln(n - k + 1.0)
+    log_comb = lgamma(n + 1.0) - lgamma(k + 1.0) - lgamma(n - k + 1.0)
     return log_comb + k * logits - n * jax.nn.softplus(logits)
 
 
@@ -191,7 +193,7 @@ def negative_binomial_log_prob(k: Array, total_count: Array, logits: Array) -> A
     logits = log-odds of failure probability."""
     k = jnp.asarray(k, dtype=jnp.result_type(logits))
     r = jnp.asarray(total_count, dtype=jnp.result_type(logits))
-    log_comb = jsp.gammaln(k + r) - jsp.gammaln(k + 1.0) - jsp.gammaln(r)
+    log_comb = lgamma(k + r) - lgamma(k + 1.0) - lgamma(r)
     return log_comb + k * logits - (k + r) * jax.nn.softplus(logits)
 
 
@@ -208,7 +210,7 @@ def categorical_log_prob(k: Array, logits: Array) -> Array:
 def dirichlet_log_prob(x: Array, concentration: Array) -> Array:
     """x on the simplex, summed over the last axis."""
     a = concentration
-    norm = jsp.gammaln(jnp.sum(a, axis=-1)) - jnp.sum(jsp.gammaln(a), axis=-1)
+    norm = lgamma(jnp.sum(a, axis=-1)) - jnp.sum(lgamma(a), axis=-1)
     lp = jnp.sum((a - 1.0) * jnp.log(x), axis=-1) + norm
     ok = (x > 0).all(axis=-1)
     return jnp.where(ok, lp, -jnp.inf)
@@ -224,7 +226,7 @@ def weibull_log_prob(x: Array, concentration: Array, scale: Array) -> Array:
 def von_mises_log_prob(x: Array, loc: Array, concentration: Array) -> Array:
     """Angle x in radians; normalized with log I0(kappa)."""
     kappa = concentration
-    log_i0 = jnp.log(jax.scipy.special.i0e(kappa)) + kappa
+    log_i0 = jnp.log(i0e(kappa)) + kappa
     return kappa * jnp.cos(x - loc) - jnp.log(2.0 * math.pi) - log_i0
 
 

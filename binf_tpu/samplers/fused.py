@@ -239,6 +239,8 @@ def fused_model_hmc(
     seed = jax.random.randint(k_run, (), 0, 2**31 - 1)
 
     bc = min(block_chains, n_chains)
+    while n_chains % bc:
+        bc -= 1
     spb = min(50, num_samples)
     while num_samples % spb:
         spb -= 1

@@ -57,3 +57,33 @@ def test_cli_chees_hierarchical():
 def test_cli_unknown_model():
     with pytest.raises(SystemExit):
         main(["--model", "nope"])
+
+
+def test_cli_fused_polynomial():
+    out = main([
+        "--model", "polynomial", "--algorithm", "fused",
+        "--chains", "64", "--warmup", "200", "--samples", "200",
+    ])
+    means = out["summary"]["coefficients"]["mean"]
+    assert abs(means[1] + 4.0) < 0.6
+    assert out["summary"]["precision"]["mean"] > 0
+    assert 0.3 < out["accept_rate"] <= 1.0
+
+
+def test_cli_fused_hierarchical():
+    out = main([
+        "--model", "hierarchical", "--algorithm", "fused",
+        "--chains", "32", "--warmup", "200", "--samples", "150",
+    ])
+    assert out["summary"]["mu"]["rhat"][0] < 1.3
+    assert 0.3 < out["accept_rate"] <= 1.0
+
+
+def test_cli_logistic_nuts():
+    out = main([
+        "--model", "logistic", "--algorithm", "nuts",
+        "--chains", "16", "--warmup", "300", "--samples", "300",
+    ])
+    means = out["summary"]["weights"]["mean"]
+    assert abs(means[1] + 2.0) < 0.7  # TRUE_WEIGHTS[1] = -2.0
+    assert out["summary"]["weights"]["rhat"][0] < 1.2

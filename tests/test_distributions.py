@@ -176,3 +176,42 @@ class TestClosedForm:
         assert float(d.gamma_log_prob(jnp.asarray(-1.0), 2.0, 1.0)) == -np.inf
         assert float(d.beta_log_prob(jnp.asarray(1.5), 2.0, 2.0)) == -np.inf
         assert float(d.weibull_log_prob(jnp.asarray(-0.1), 1.0, 1.0)) == -np.inf
+
+
+def test_lgamma_matches_gammaln():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.scipy import special as jsp
+
+    from binf_tpu.ops.math import lgamma
+
+    x = jnp.concatenate([
+        jnp.linspace(0.02, 0.49, 40),
+        jnp.linspace(0.5, 20.0, 200),
+        jnp.linspace(20.0, 5000.0, 200),
+    ])
+    np.testing.assert_allclose(
+        np.asarray(lgamma(x)), np.asarray(jsp.gammaln(x)), rtol=2e-5, atol=2e-5
+    )
+    # autodiff agrees with digamma
+    g = jax.vmap(jax.grad(lgamma))(jnp.linspace(0.6, 50.0, 100))
+    np.testing.assert_allclose(
+        np.asarray(g),
+        np.asarray(jsp.digamma(jnp.linspace(0.6, 50.0, 100))),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_i0e_matches_scipy():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from binf_tpu.ops.math import i0e
+
+    x = jnp.linspace(0.0, 60.0, 400)
+    np.testing.assert_allclose(
+        np.asarray(i0e(x)), np.asarray(jax.scipy.special.i0e(x)),
+        rtol=2e-5, atol=2e-6,
+    )
