@@ -187,6 +187,7 @@ def _kernel(
     num_leapfrog: int,
     d: int,
     host_noise: bool,
+    thin: int,
 ):
     (seed_ref, eps_ref, q0_ref, im_ref), rest = refs[:4], refs[4:]
     n_consts = len(const_names)
@@ -195,7 +196,7 @@ def _kernel(
 
     i = pl.program_id(0)  # chain tile
     j = pl.program_id(1)  # step block
-    eps = eps_ref[0, 0]
+    eps = eps_ref[:]  # (1, BC) per-chain step sizes
 
     @pl.when(j == 0)
     def _():
@@ -232,18 +233,19 @@ def _kernel(
 
         p = p - 0.5 * eps * g
 
-        def leap(_, qp):
-            q, p = qp
+        # carry (q, p, U(q), grad U(q)) so the trajectory costs exactly
+        # num_leapfrog + 1 potential evaluations per proposal
+        def leap(_, carry4):
+            q, p, _, _ = carry4
             q = q + eps * p * im
-            _, g = value_and_grad(q)
+            u, g = value_and_grad(q)
             p = p - eps * g
-            return (q, p)
+            return (q, p, u, g)
 
-        q_new, p = jax.lax.fori_loop(0, num_leapfrog, leap, (q, p))
-        _, g_end = value_and_grad(q_new)
+        q_new, p, U1, g_end = jax.lax.fori_loop(
+            0, num_leapfrog, leap, (q, p, U0, g)
+        )
         p = p + 0.5 * eps * g_end
-
-        U1, _ = value_and_grad(q_new)
         E1 = U1 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
 
         if host_noise:
@@ -254,7 +256,12 @@ def _kernel(
         accept = log_u < (E0 - E1)
         q = jnp.where(accept, q_new, q)
         q_scr[:] = q
-        out_ref[carry] = q
+        if thin == 1:
+            out_ref[carry] = q
+        else:
+            @pl.when(carry % thin == thin - 1)
+            def _():
+                out_ref[carry // thin] = q
         acc_ref[0, 0] += jnp.mean(accept.astype(jnp.float32))
         return carry + 1
 
@@ -284,14 +291,14 @@ def _pad_const(x: Array) -> Array:
     jax.jit,
     static_argnames=(
         "potential", "num_steps", "num_leapfrog", "block_chains",
-        "steps_per_block", "interpret", "host_noise",
+        "steps_per_block", "interpret", "host_noise", "thin",
     ),
 )
 def fused_potential_hmc_run(
     potential,  # static: (q_tile (D_pad, BC), consts) -> U (1, BC)
     q0: Array,  # (C, D) flat unconstrained positions
     seed,
-    step_size,
+    step_size,  # scalar or per-chain (C,)
     inverse_mass: Array,  # (D,)
     consts: dict[str, Array],
     *,
@@ -301,21 +308,28 @@ def fused_potential_hmc_run(
     steps_per_block: int = 50,
     interpret: bool = False,
     host_noise: bool = False,
+    thin: int = 1,
 ):
     """Run ``num_steps`` fused HMC sweeps of ``exp(-potential)``.
 
-    Returns ``(draws (num_steps, C, D), accept_rate)``.  Layout, PRNG, and
-    streaming semantics are identical to ``fused_linreg_hmc_run`` -- see the
-    module docstring for the tile contract.
+    Returns ``(draws (num_steps // thin, C, D), accept_rate)``.  Layout,
+    PRNG, and streaming semantics are identical to ``fused_linreg_hmc_run``
+    -- see the module docstring for the tile contract.  ``step_size`` may be
+    per-chain (from ``window_adaptation(per_chain=True)``); ``thin`` keeps
+    every thin-th draw, bounding HBM for long runs (draws cost
+    ``num_steps/thin * D_pad * C * 4`` bytes).
     """
     C, D = q0.shape
     assert C % block_chains == 0 and num_steps % steps_per_block == 0
+    assert steps_per_block % thin == 0
     d_pad = ((D + 7) // 8) * 8
 
     q0_t = jnp.zeros((d_pad, C), jnp.float32).at[:D, :].set(q0.T)
     im = jnp.zeros((d_pad, 1), jnp.float32).at[:D, 0].set(inverse_mass)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
-    eps_arr = jnp.asarray(step_size, jnp.float32).reshape(1, 1)
+    eps_arr = jnp.broadcast_to(
+        jnp.asarray(step_size, jnp.float32).reshape(1, -1), (1, C)
+    )
 
     const_names = tuple(sorted(consts))
     const_arrays = [_pad_const(consts[k]) for k in const_names]
@@ -340,6 +354,7 @@ def fused_potential_hmc_run(
         num_leapfrog=num_leapfrog,
         d=D,
         host_noise=host_noise,
+        thin=thin,
     )
     if host_noise:
         noise_index = lambda i, j: (j, 0, i)
@@ -355,14 +370,15 @@ def fused_potential_hmc_run(
     draws, acc = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((num_steps, d_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((num_steps // thin, d_pad, C), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         grid_spec=pl.GridSpec(
             grid=(n_tiles, n_blocks),
             in_specs=[
                 pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_chains), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, block_chains), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, 1), fixed, memory_space=pltpu.VMEM),
@@ -374,7 +390,7 @@ def fused_potential_hmc_run(
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (steps_per_block, d_pad, block_chains),
+                    (steps_per_block // thin, d_pad, block_chains),
                     lambda i, j: (j, 0, i),
                     memory_space=pltpu.VMEM,
                 ),

@@ -326,12 +326,16 @@ def _gather_rule(prim, invals, params, out_avals, bc):
         )
     a = a.reshape((n,) + rest_sizes + (bc,))
 
-    idx = jnp.asarray(indices).reshape(-1, indices.shape[-1])  # (B, k)
+    # scalar-only constants: Pallas kernels cannot capture array constants,
+    # so strides multiply-accumulate with python ints and the iota is an op
+    idx = indices.reshape(-1, indices.shape[-1])  # (B, k)
     strides = np.cumprod([1] + [s[d] for d in reversed(sim)])[::-1][1:]
-    flat_idx = (idx * jnp.asarray(strides, idx.dtype)[None, :]).sum(axis=1)
-    onehot = (
-        flat_idx[:, None] == jnp.arange(n, dtype=flat_idx.dtype)[None, :]
-    ).astype(operand.arr.dtype)  # (B, n)
+    flat_idx = sum(
+        idx[:, j] * int(strides[j]) for j in range(idx.shape[-1])
+    )
+    b_rows = int(flat_idx.shape[0])
+    iota = lax.broadcasted_iota(flat_idx.dtype, (b_rows, n), 1)
+    onehot = (flat_idx[:, None] == iota).astype(operand.arr.dtype)  # (B, n)
 
     if rest:
         cols = []

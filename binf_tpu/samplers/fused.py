@@ -188,6 +188,9 @@ def fused_model_hmc(
     num_leapfrog: int = 10,
     initial_step_size: float = 0.05,
     block_chains: int = 512,
+    per_chain_step_size: bool = False,
+    thin: int = 1,
+    mesh=None,
     host_noise: bool | None = None,
     interpret: bool | None = None,
 ) -> FusedModelResult:
@@ -201,6 +204,12 @@ def fused_model_hmc(
     cross-chain diagonal mass) runs on the XLA path; the sampling phase is
     ONE ``pallas_call``.  Returns unconstrained draws -- apply
     ``transforms.constrain`` / ``jnp.exp`` downstream as the model requires.
+
+    With ``mesh`` (a Mesh with a ``chain`` axis), chains are sharded over
+    the devices: warmup adaptation statistics reduce across devices via the
+    collectives XLA inserts, and the sampling phase runs ONE fused kernel
+    PER DEVICE over its chain shard (``shard_map``), with per-device PRNG
+    streams.  Draws come back sharded on the chain axis.
     """
     from binf_tpu.samplers.adaptation import window_adaptation
     from binf_tpu.samplers.hmc import hmc
@@ -220,12 +229,18 @@ def fused_model_hmc(
 
     k_warm, k_run = jax.random.split(key)
 
+    if mesh is not None:
+        from binf_tpu.parallel.mesh import shard_chains
+
+        initial_positions = shard_chains(initial_positions, mesh)
+
     @jax.jit
     def warm(positions, k):
         states = jax.vmap(builder(initial_step_size, None).init)(positions)
         return window_adaptation(
             builder, states, k, num_steps=num_warmup,
             initial_step_size=initial_step_size,
+            per_chain=per_chain_step_size,
         )
 
     adapt = warm(initial_positions, k_warm)
@@ -238,21 +253,56 @@ def fused_model_hmc(
     )[0]
     seed = jax.random.randint(k_run, (), 0, 2**31 - 1)
 
-    bc = min(block_chains, n_chains)
-    while n_chains % bc:
+    if num_samples % thin:
+        raise ValueError(f"{num_samples=} must be divisible by {thin=}")
+    n_dev = mesh.shape["chain"] if mesh is not None else 1
+    if n_chains % n_dev:
+        raise ValueError(f"{n_chains=} must be divisible by mesh chain axis {n_dev}")
+    n_local = n_chains // n_dev
+    bc = min(block_chains, n_local)
+    while n_local % bc:
         bc -= 1
-    spb = min(50, num_samples)
-    while num_samples % spb:
+    spb = min(max(50, thin), num_samples)
+    while num_samples % spb or spb % thin:
         spb -= 1
-    draws, acc = fused_potential_hmc_run(
-        potential, q0, seed, adapt.step_size, im_vec, consts,
+
+    run_kwargs = dict(
         num_steps=num_samples,
         num_leapfrog=num_leapfrog,
         block_chains=bc,
         steps_per_block=spb,
         interpret=interpret,
         host_noise=host_noise,
+        thin=thin,
     )
+    eps = jnp.broadcast_to(
+        jnp.asarray(adapt.step_size, jnp.float32).reshape(-1), (n_chains,)
+    )
+
+    if mesh is None:
+        draws, acc = fused_potential_hmc_run(
+            potential, q0, seed, eps, im_vec, consts, **run_kwargs
+        )
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def device_run(seed_g, q0_l, eps_l, im_l, consts_l):
+            seed_l = seed_g + jax.lax.axis_index("chain")
+            d, a = fused_potential_hmc_run(
+                potential, q0_l, seed_l, eps_l, im_l, consts_l, **run_kwargs
+            )
+            return d, jax.lax.pmean(a, "chain")
+
+        draws, acc = jax.jit(
+            shard_map(
+                device_run,
+                mesh=mesh,
+                in_specs=(P(), P("chain", None), P("chain"), P(), P()),
+                out_specs=(P(None, "chain", None), P()),
+                check_vma=False,  # pallas_call does not annotate vma
+            )
+        )(seed, q0, eps, im_vec, consts)
     return FusedModelResult(
         samples=unpack_draws(draws, spec),
         accept_rate=acc,

@@ -132,3 +132,67 @@ def test_fused_model_on_posterior_graph():
     gp = np.asarray(gs["precision"][100:]).reshape(-1)
     np.testing.assert_allclose(c.mean(0), gc.mean(0), atol=0.1)
     np.testing.assert_allclose(p.mean(), gp.mean(), rtol=0.2)
+
+
+def test_fused_model_per_chain_step_and_thin():
+    """Per-chain step sizes + draw thinning keep exact moments."""
+    mu = jnp.asarray([0.5, -0.5])
+
+    def logdensity(pos):
+        return -0.5 * jnp.sum((pos["x"] - mu) ** 2)
+
+    n_chains = 64
+    init = {"x": 0.1 * jax.random.normal(jax.random.key(0), (n_chains, 2))}
+    result = fused_model_hmc(
+        logdensity,
+        init,
+        jax.random.key(1),
+        num_warmup=300,
+        num_samples=600,
+        num_leapfrog=8,
+        block_chains=32,
+        per_chain_step_size=True,
+        thin=3,
+    )
+    assert result.samples["x"].shape == (200, n_chains, 2)
+    assert 0.5 < float(result.accept_rate) <= 1.0
+    x = np.asarray(result.samples["x"][50:]).reshape(-1, 2)
+    np.testing.assert_allclose(x.mean(0), np.asarray(mu), atol=0.1)
+    np.testing.assert_allclose(x.std(0), 1.0, rtol=0.1)
+    # per-chain step sizes are genuinely per-chain (vector, not broadcast)
+    assert np.asarray(result.step_size).shape == (n_chains,)
+
+
+def test_fused_model_sharded_over_mesh():
+    """One fused kernel per device over the sharded chain axis (8-device
+    CPU mesh; north-star chain parallelism for the fused path)."""
+    from binf_tpu.parallel.mesh import make_chain_mesh
+
+    mesh = make_chain_mesh()
+    mu = jnp.asarray([0.3, -0.7, 1.1])
+
+    def logdensity(pos):
+        return -0.5 * jnp.sum((pos["x"] - mu) ** 2)
+
+    n_chains = 64
+    init = {"x": 0.1 * jax.random.normal(jax.random.key(0), (n_chains, 3))}
+    result = fused_model_hmc(
+        logdensity,
+        init,
+        jax.random.key(1),
+        # NOTE: Pallas interpret-mode emulation under shard_map degrades
+        # sharply beyond ~200 steps on CPU; on TPU the kernel is compiled
+        # and this limit does not exist.
+        num_warmup=300,
+        num_samples=200,
+        num_leapfrog=8,
+        block_chains=8,
+        mesh=mesh,
+    )
+    assert 0.5 < float(result.accept_rate) <= 1.0
+    x = np.asarray(result.samples["x"][50:]).reshape(-1, 3)
+    np.testing.assert_allclose(x.mean(0), np.asarray(mu), atol=0.25)
+    np.testing.assert_allclose(x.std(0), 1.0, rtol=0.2)
+    # chains on different devices see different PRNG streams
+    first_draw = np.asarray(result.samples["x"][0])
+    assert np.std(first_draw[:8] - first_draw[8:16]) > 1e-4
