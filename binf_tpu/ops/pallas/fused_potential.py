@@ -40,7 +40,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from binf_tpu.ops.pallas.tile_interpreter import LaneTile, eval_jaxpr_lanes
+from binf_tpu.ops.pallas.tile_interpreter import (
+    LaneTile,
+    UnsupportedPrimitiveError,
+    eval_jaxpr_lanes,
+)
 
 Array = jax.Array
 
@@ -160,6 +164,21 @@ def tile_potential_from_scalar(logdensity_fn: Callable, template: dict):
             closed_jaxpr.jaxpr, rebuilt, LaneTile(q_tile[:D])
         )
         return out.arr.reshape(1, q_tile.shape[1])
+
+    # fail fast at BUILD time (not inside pallas tracing) if the model uses
+    # a primitive with no lane-batching rule, with actionable guidance
+    d_pad = ((D + 7) // 8) * 8
+    try:
+        jax.eval_shape(
+            lambda q: potential(q, {k: _pad_const(v) for k, v in consts.items()}),
+            jax.ShapeDtypeStruct((d_pad, 8), jnp.float32),
+        )
+    except UnsupportedPrimitiveError as e:
+        raise UnsupportedPrimitiveError(
+            f"{e}\nThis model cannot run in the fused whole-run kernel; use "
+            "the XLA path instead (parallel.runner.warmup_and_run with "
+            "samplers.hmc/nuts, or the model's dedicated kernels)."
+        ) from None
 
     return potential, consts, spec
 

@@ -126,3 +126,30 @@ def test_unsupported_primitive_raises():
         eval_jaxpr_lanes(
             jaxpr.jaxpr, jaxpr.consts, LaneTile(jnp.zeros((4, BC)))
         )
+
+
+def test_interpreter_extra_rules():
+    """pad, rev, reduce_max, per-chain dot_general (mul+sum path)."""
+    def f(q):  # (6,)
+        m = q.reshape(2, 3)
+        padded = jnp.pad(q, (1, 1))                # pad
+        rev = q[::-1]                              # rev
+        dot = m @ m.T                              # batched x batched matmul
+        return (jnp.sum(padded) + jnp.sum(rev * q) + jnp.sum(dot)
+                + jnp.max(m) + jnp.min(q))
+
+    jaxpr = jax.make_jaxpr(f)(jnp.zeros(6))
+    qs = jax.random.normal(jax.random.key(1), (BC, 6), jnp.float32)
+    (out,) = eval_jaxpr_lanes(jaxpr.jaxpr, jaxpr.consts, LaneTile(qs.T))
+    ref = jax.vmap(f)(qs)
+    np.testing.assert_allclose(np.asarray(out.arr), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_build_time_unsupported_error_is_actionable():
+    """Models with un-batchable primitives fail at BUILD time with guidance."""
+    def logdensity(pos):
+        return jnp.sum(jnp.sort(pos["x"]))
+
+    with pytest.raises(UnsupportedPrimitiveError, match="XLA path"):
+        tile_potential_from_scalar(logdensity, {"x": jnp.zeros(4)})
