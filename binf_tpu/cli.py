@@ -107,6 +107,10 @@ def main(argv=None):
     ap.add_argument("--summary-out", default=None)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--mesh", action="store_true", help="shard chains over all devices")
+    ap.add_argument("--thin", type=int, default=1,
+                    help="keep every k-th draw (fused algorithm: in-kernel)")
+    ap.add_argument("--per-chain-step", action="store_true",
+                    help="per-chain step-size adaptation (fused algorithm)")
     ap.add_argument("--persistent-cache", action="store_true")
     args = ap.parse_args(argv)
 
@@ -239,11 +243,15 @@ def main(argv=None):
             logdensity, u_positions, k_run,
             num_warmup=args.warmup, num_samples=args.samples,
             initial_step_size=args.step_size,
+            per_chain_step_size=args.per_chain_step,
+            thin=args.thin,
+            mesh=mesh,
         )
         jax.block_until_ready(result.samples)
         elapsed = time.perf_counter() - t0
         samples = _constrain_batch(transforms, result.samples)
-        out = _summarize(args, samples, elapsed, burn=args.samples // 4)
+        out = _summarize(args, samples, elapsed,
+                         burn=(args.samples // args.thin) // 4)
         out["accept_rate"] = round(float(result.accept_rate), 4)
 
     else:  # gradient samplers via adaptive warmup

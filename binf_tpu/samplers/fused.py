@@ -10,12 +10,13 @@ scan(vmap(step)) path on small models, see docs/performance.md):
   and dispatches to the hand-tiled linreg kernel;
 * :func:`fused_model_hmc` -- the GENERAL path: takes any per-chain log
   density + position template, compiles it into the fused kernel via
-  ``tile_potential_from_scalar`` (trace -> hoist data consts -> vmap over
-  the lane axis), no introspection or hand tiling required.
+  ``tile_potential_from_scalar`` (trace -> hoist data consts -> the
+  lane-batching interpreter), no introspection or hand tiling required.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -172,6 +173,35 @@ def fused_regression_hmc(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("spec_key",))
+def _unpack_jit(draws, spec_key):
+    # one dispatch for the whole draw unpacking (vs per-leaf eager slices)
+    return unpack_draws(draws, list(spec_key))
+
+
+_TILE_CACHE: dict = {}
+
+
+def _cached_tile_potential(logdensity_fn, template):
+    """Build-once cache: tracing + the build-time supportability dry-run
+    cost ~1s of host time, so repeated runs with the same log density
+    (by identity, like jit) and template structure reuse the compiled
+    potential."""
+    key = (
+        logdensity_fn,
+        tuple(
+            (name, tuple(jnp.shape(template[name]))) for name in sorted(template)
+        ),
+    )
+    try:
+        hit = _TILE_CACHE.get(key)
+    except TypeError:  # unhashable logdensity
+        return tile_potential_from_scalar(logdensity_fn, template)
+    if hit is None:
+        hit = _TILE_CACHE[key] = tile_potential_from_scalar(logdensity_fn, template)
+    return hit
+
+
 class FusedModelResult(NamedTuple):
     samples: dict[str, Array]  # unconstrained space, (num_samples, C, ...)
     accept_rate: Array
@@ -216,7 +246,7 @@ def fused_model_hmc(
 
     n_chains = jax.tree.leaves(initial_positions)[0].shape[0]
     template = jax.tree.map(lambda x: x[0], initial_positions)
-    potential, consts, spec = tile_potential_from_scalar(logdensity_fn, template)
+    potential, consts, spec = _cached_tile_potential(logdensity_fn, template)
 
     on_cpu = jax.default_backend() == "cpu"
     if host_noise is None:
@@ -245,13 +275,22 @@ def fused_model_hmc(
 
     adapt = warm(initial_positions, k_warm)
 
-    q0 = pack_positions(adapt.final_states.position, spec)
-    im_vec = pack_positions(
-        jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + jnp.shape(x)),
-                     adapt.inverse_mass),
-        spec,
-    )[0]
-    seed = jax.random.randint(k_run, (), 0, 2**31 - 1)
+    @jax.jit  # one dispatch for all packing (tunnel RTT is ~70 ms/call)
+    def prepare(adapt, k):
+        q0 = pack_positions(adapt.final_states.position, spec)
+        im_vec = pack_positions(
+            jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + jnp.shape(x)),
+                         adapt.inverse_mass),
+            spec,
+        )[0]
+        eps = jnp.broadcast_to(
+            jnp.asarray(adapt.step_size, jnp.float32).reshape(-1),
+            (q0.shape[0],),
+        )
+        seed = jax.random.randint(k, (), 0, 2**31 - 1)
+        return q0, im_vec, eps, seed
+
+    q0, im_vec, eps, seed = prepare(adapt, k_run)
 
     if num_samples % thin:
         raise ValueError(f"{num_samples=} must be divisible by {thin=}")
@@ -275,10 +314,6 @@ def fused_model_hmc(
         host_noise=host_noise,
         thin=thin,
     )
-    eps = jnp.broadcast_to(
-        jnp.asarray(adapt.step_size, jnp.float32).reshape(-1), (n_chains,)
-    )
-
     if mesh is None:
         draws, acc = fused_potential_hmc_run(
             potential, q0, seed, eps, im_vec, consts, **run_kwargs
@@ -303,8 +338,9 @@ def fused_model_hmc(
                 check_vma=False,  # pallas_call does not annotate vma
             )
         )(seed, q0, eps, im_vec, consts)
+    samples = _unpack_jit(draws, tuple(spec))
     return FusedModelResult(
-        samples=unpack_draws(draws, spec),
+        samples=samples,
         accept_rate=acc,
         step_size=adapt.step_size,
         inverse_mass=im_vec,
