@@ -111,6 +111,12 @@ def main(argv=None):
                     help="keep every k-th draw (fused algorithm: in-kernel)")
     ap.add_argument("--per-chain-step", action="store_true",
                     help="per-chain step-size adaptation (fused algorithm)")
+    ap.add_argument("--auto-step-size", action="store_true",
+                    help="seed warmup with find_reasonable_step_size "
+                         "(Hoffman & Gelman Algorithm 4) instead of --step-size")
+    ap.add_argument("--trajectory", default="fixed", choices=["fixed", "chees"],
+                    help="fused algorithm: trajectory-length source "
+                         "(chees = ChEES-adapted, frozen to a static count)")
     ap.add_argument("--persistent-cache", action="store_true")
     args = ap.parse_args(argv)
 
@@ -242,10 +248,11 @@ def main(argv=None):
         result = fused_model_hmc(
             logdensity, u_positions, k_run,
             num_warmup=args.warmup, num_samples=args.samples,
-            initial_step_size=args.step_size,
+            initial_step_size=None if args.auto_step_size else args.step_size,
             per_chain_step_size=args.per_chain_step,
             thin=args.thin,
             mesh=mesh,
+            trajectory=args.trajectory,
         )
         jax.block_until_ready(result.samples)
         elapsed = time.perf_counter() - t0
@@ -296,7 +303,8 @@ def main(argv=None):
             samples, _, adapt = warmup_and_run(
                 builder, u_positions, k_run,
                 num_warmup=args.warmup, num_samples=args.samples,
-                initial_step_size=args.step_size, mesh=mesh,
+                initial_step_size=None if args.auto_step_size else args.step_size,
+                mesh=mesh,
             )
         jax.block_until_ready(samples)
         elapsed = time.perf_counter() - t0

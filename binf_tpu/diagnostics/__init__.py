@@ -5,10 +5,20 @@ from binf_tpu.diagnostics.model_comparison import (
     psis_loo,
     waic,
 )
-from binf_tpu.diagnostics.rhat import ess, split_rhat, summary
+from binf_tpu.diagnostics.rhat import (
+    ess,
+    ess_bulk,
+    ess_tail,
+    rhat,
+    split_rhat,
+    summary,
+)
 
 __all__ = [
     "ess",
+    "ess_bulk",
+    "ess_tail",
+    "rhat",
     "split_rhat",
     "summary",
     "LOOResult",

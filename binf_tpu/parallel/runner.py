@@ -116,7 +116,7 @@ def warmup_and_run(
     key: Array,
     num_warmup: int = 500,
     num_samples: int = 1000,
-    initial_step_size: float = 0.1,
+    initial_step_size: float | None = 0.1,
     target_accept: float = 0.8,
     thin: int = 1,
     collect: Callable[[Any, Any], Any] | None = None,
@@ -129,6 +129,8 @@ def warmup_and_run(
 
     ``per_chain_step_size=True`` adapts and samples with an independent
     step size per chain (see ``window_adaptation(per_chain=True)``).
+    ``initial_step_size=None`` seeds the warmup with
+    ``find_reasonable_step_size`` (Hoffman & Gelman Algorithm 4).
 
     Returns ``(samples, final_states, adaptation_result)``.
     """
@@ -139,7 +141,9 @@ def warmup_and_run(
 
     def _run(initial_positions, key):
         key_warm, key_sample = jax.random.split(key)
-        init_kernel = kernel_builder(initial_step_size, None)
+        init_kernel = kernel_builder(
+            1.0 if initial_step_size is None else initial_step_size, None
+        )
         states = jax.vmap(init_kernel.init)(initial_positions)
 
         adapt = window_adaptation(

@@ -193,7 +193,7 @@ def window_adaptation(
     initial_states: Any,
     key: Array,
     num_steps: int = 500,
-    initial_step_size: float = 0.1,
+    initial_step_size: float | None = 0.1,
     target_accept: float = 0.8,
     position_template: Any = None,
     per_chain: bool = False,
@@ -218,6 +218,11 @@ def window_adaptation(
     positions is strictly more data; per-chain metrics would decouple the
     chains' stationary preconditioner for no benefit).
 
+    ``initial_step_size=None`` seeds dual averaging with
+    :func:`find_reasonable_step_size` (Hoffman & Gelman 2011 Algorithm 4,
+    as Stan does): the doubling/halving search runs on chain 0's state
+    before the windows start.
+
     Returns frozen ``(step_size, inverse_mass)`` and the warmed-up states.
     """
     if position_template is None:
@@ -225,6 +230,14 @@ def window_adaptation(
 
     n_chains = jax.tree.leaves(initial_states.position)[0].shape[0]
     slow_mask, reset_mask = _stan_window_schedule(num_steps)
+
+    if initial_step_size is None:
+        key, k_find = jax.random.split(key)
+        state0 = jax.tree.map(lambda x: x[0], initial_states)
+        initial_step_size = find_reasonable_step_size(
+            lambda eps: kernel_builder(eps, None), k_find, state0,
+            target_accept=target_accept,
+        )
 
     def make_step(step_size, inverse_mass):
         return kernel_builder(step_size, inverse_mass).step

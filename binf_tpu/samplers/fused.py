@@ -216,13 +216,15 @@ def fused_model_hmc(
     num_warmup: int = 400,
     num_samples: int = 1000,
     num_leapfrog: int = 10,
-    initial_step_size: float = 0.05,
+    initial_step_size: float | None = 0.05,
     block_chains: int = 512,
     per_chain_step_size: bool = False,
     thin: int = 1,
     mesh=None,
     host_noise: bool | None = None,
     interpret: bool | None = None,
+    trajectory: str = "fixed",
+    max_leapfrog: int = 256,
 ) -> FusedModelResult:
     """Whole-run fused HMC for an ARBITRARY model.
 
@@ -240,6 +242,14 @@ def fused_model_hmc(
     collectives XLA inserts, and the sampling phase runs ONE fused kernel
     PER DEVICE over its chain shard (``shard_map``), with per-device PRNG
     streams.  Draws come back sharded on the chain axis.
+
+    ``trajectory="chees"`` adapts the trajectory length during warmup with
+    ChEES (Hoffman, Radul & Sountsov 2021) instead of using the fixed
+    ``num_leapfrog``: the adapted length is frozen to the nearest static
+    step count ``round(T/eps)`` (clamped to ``max_leapfrog``) when the fused
+    kernel is built -- one host sync between warmup and sampling.
+    ``initial_step_size=None`` seeds warmup with
+    ``find_reasonable_step_size``.
     """
     from binf_tpu.samplers.adaptation import window_adaptation
     from binf_tpu.samplers.hmc import hmc
@@ -254,9 +264,6 @@ def fused_model_hmc(
     if interpret is None:
         interpret = on_cpu
 
-    def builder(step_size, inverse_mass):
-        return hmc(logdensity_fn, step_size, num_leapfrog, inverse_mass)
-
     k_warm, k_run = jax.random.split(key)
 
     if mesh is not None:
@@ -264,16 +271,58 @@ def fused_model_hmc(
 
         initial_positions = shard_chains(initial_positions, mesh)
 
-    @jax.jit
-    def warm(positions, k):
-        states = jax.vmap(builder(initial_step_size, None).init)(positions)
-        return window_adaptation(
-            builder, states, k, num_steps=num_warmup,
-            initial_step_size=initial_step_size,
-            per_chain=per_chain_step_size,
+    if trajectory == "chees":
+        from binf_tpu.samplers.chees import chees_adaptation
+
+        @jax.jit
+        def warm_chees(positions, k):
+            return chees_adaptation(
+                logdensity_fn, positions, k, num_steps=num_warmup,
+                initial_step_size=(
+                    0.1 if initial_step_size is None else initial_step_size
+                ),
+                max_leapfrog=max_leapfrog,
+            )
+
+        chees = warm_chees(initial_positions, k_warm)
+        # freeze the adapted length to a static leapfrog count (host sync)
+        eps_val = float(chees.step_size)
+        num_leapfrog = int(
+            min(max(round(float(chees.trajectory_length) / eps_val), 1),
+                max_leapfrog)
         )
 
-    adapt = warm(initial_positions, k_warm)
+        class _Adapt(NamedTuple):
+            step_size: Any
+            inverse_mass: Any
+            final_states: Any
+
+        class _States(NamedTuple):
+            position: Any
+
+        adapt = _Adapt(chees.step_size, chees.inverse_mass,
+                       _States(chees.final_positions))
+    elif trajectory != "fixed":
+        raise ValueError(f"unknown {trajectory=}; use 'fixed' or 'chees'")
+    else:
+        def builder(step_size, inverse_mass):
+            return hmc(logdensity_fn, step_size, num_leapfrog, inverse_mass)
+
+        @jax.jit
+        def warm(positions, k):
+            states = jax.vmap(
+                builder(
+                    1.0 if initial_step_size is None else initial_step_size,
+                    None,
+                ).init
+            )(positions)
+            return window_adaptation(
+                builder, states, k, num_steps=num_warmup,
+                initial_step_size=initial_step_size,
+                per_chain=per_chain_step_size,
+            )
+
+        adapt = warm(initial_positions, k_warm)
 
     @jax.jit  # one dispatch for all packing (tunnel RTT is ~70 ms/call)
     def prepare(adapt, k):

@@ -5,7 +5,92 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from binf_tpu.diagnostics import ess, split_rhat, summary
+from binf_tpu.diagnostics import (
+    ess,
+    ess_bulk,
+    ess_tail,
+    rhat,
+    split_rhat,
+    summary,
+)
+from binf_tpu.diagnostics.rhat import _rank_normalize
+
+
+def _scipy_rank_normalize(x):
+    """Independent implementation of Vehtari et al. 2021 rank-normalization
+    (the same formula arviz uses): pooled average ranks -> Blom offset ->
+    normal quantile."""
+    from scipy.stats import norm, rankdata
+
+    s = x.size
+    r = rankdata(x, method="average", axis=None).reshape(x.shape)
+    return norm.ppf((r - 0.375) / (s + 0.25))
+
+
+def test_rank_normalize_matches_scipy(key):
+    x = np.asarray(jax.random.normal(key, (200, 4)))
+    ours = np.asarray(_rank_normalize(jnp.asarray(x)))
+    ref = _scipy_rank_normalize(x)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_rhat_matches_reference_pipeline_ar1(key):
+    """rhat/ess_bulk on an AR(1) fixture == split_rhat/ess applied to the
+    independently rank-normalized draws (within 1e-3)."""
+    phi = 0.5
+    n, m = 1000, 4
+    eps = np.asarray(jax.random.normal(key, (n, m)))
+    x = np.zeros((n, m))
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + eps[t] * np.sqrt(1 - phi**2)
+    xj = jnp.asarray(x)
+
+    z = _scipy_rank_normalize(x)
+    med = np.median(x)
+    z_fold = _scipy_rank_normalize(np.abs(x - med))
+    ref_rhat = max(float(split_rhat(jnp.asarray(z))),
+                   float(split_rhat(jnp.asarray(z_fold))))
+    ref_bulk = float(ess(jnp.asarray(z)))
+
+    np.testing.assert_allclose(float(rhat(xj)), ref_rhat, rtol=1e-3)
+    np.testing.assert_allclose(float(ess_bulk(xj)), ref_bulk, rtol=1e-3)
+
+
+def test_folded_rhat_detects_variance_mismatch(key):
+    """Chains with equal means but unequal variances: raw-scale split-R-hat
+    is blind, folded rank-normalized R-hat fires (the Vehtari et al. 2021
+    motivating case)."""
+    x = jax.random.normal(key, (2000, 4))
+    scales = jnp.asarray([1.0, 1.0, 1.0, 4.0])
+    x = x * scales[None, :]
+    assert float(split_rhat(x)) < 1.02  # classic misses it
+    assert float(rhat(x)) > 1.05  # folded catches it
+
+
+def test_tail_ess_detects_heavy_tail_nonmixing(key):
+    """A chain exploring the bulk but with sticky tails: tail-ESS must come
+    out far below bulk-ESS.  Construct via a slowly-mixing scale process."""
+    n, m = 4000, 4
+    k1, k2 = jax.random.split(key)
+    z = np.asarray(jax.random.normal(k1, (n, m)))
+    # AR(1) log-scale with long memory -> heavy, slowly-mixing tails
+    s = np.zeros((n, m))
+    eta = np.asarray(jax.random.normal(k2, (n, m)))
+    for t in range(1, n):
+        s[t] = 0.995 * s[t - 1] + 0.1 * eta[t]
+    x = jnp.asarray(z * np.exp(s))
+    bulk = float(ess_bulk(x))
+    tail = float(ess_tail(x))
+    assert tail < 0.5 * bulk
+
+
+def test_rhat_converged_iid_near_one(key):
+    x = jax.random.normal(key, (1000, 8))
+    assert abs(float(rhat(x)) - 1.0) < 0.02
+    e_bulk = float(ess_bulk(x))
+    e_tail = float(ess_tail(x))
+    assert 0.5 * 8000 < e_bulk
+    assert 0.2 * 8000 < e_tail
 
 
 def test_rhat_converged_chains(key):

@@ -196,3 +196,50 @@ def test_fused_model_sharded_over_mesh():
     # chains on different devices see different PRNG streams
     first_draw = np.asarray(result.samples["x"][0])
     assert np.std(first_draw[:8] - first_draw[8:16]) > 1e-4
+
+
+def test_fused_model_chees_trajectory():
+    """trajectory='chees' adapts the trajectory length in warmup and freezes
+    it to a static leapfrog count for the fused kernel; moments still match."""
+    mu_v = jnp.asarray([1.0, -1.0, 2.0])
+    sd_v = jnp.asarray([0.5, 1.0, 2.0])
+
+    def logdensity(pos):
+        return -0.5 * jnp.sum(((pos["v"] - mu_v) / sd_v) ** 2)
+
+    n_chains = 64
+    init = {"v": 0.1 * jax.random.normal(jax.random.key(0), (n_chains, 3))}
+    result = fused_model_hmc(
+        logdensity,
+        init,
+        jax.random.key(1),
+        num_warmup=300,
+        num_samples=400,
+        block_chains=32,
+        trajectory="chees",
+    )
+    assert 0.4 < float(result.accept_rate) <= 1.0
+    v = np.asarray(result.samples["v"][100:]).reshape(-1, 3)
+    np.testing.assert_allclose(v.mean(0), np.asarray(mu_v), atol=0.2)
+    np.testing.assert_allclose(v.std(0), np.asarray(sd_v), rtol=0.2)
+
+
+def test_fused_model_auto_step_size():
+    """initial_step_size=None seeds warmup with find_reasonable_step_size."""
+
+    def logdensity(pos):
+        return -0.5 * jnp.sum(pos["x"] ** 2)
+
+    init = {"x": 0.1 * jax.random.normal(jax.random.key(0), (32, 2))}
+    result = fused_model_hmc(
+        logdensity,
+        init,
+        jax.random.key(1),
+        num_warmup=200,
+        num_samples=200,
+        num_leapfrog=8,
+        block_chains=32,
+        initial_step_size=None,
+    )
+    assert 0.5 < float(result.accept_rate) <= 1.0
+    assert float(result.step_size) > 0.01

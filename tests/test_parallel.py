@@ -218,3 +218,32 @@ def test_smc_sharded_particles(key):
     assert float(result.final_beta) == 1.0
     c = np.asarray(result.particles["coefficients"])
     np.testing.assert_allclose(c.mean(0), [2.0, -4.0, 1.0, 1.5], atol=0.6)
+
+
+def test_window_adaptation_auto_initial_step(key):
+    """initial_step_size=None runs find_reasonable_step_size (Hoffman &
+    Gelman Alg. 4) to seed dual averaging; the result must land in the same
+    ballpark as an explicitly well-seeded warmup."""
+    from binf_tpu.samplers.adaptation import window_adaptation
+    from binf_tpu.samplers.hmc import hmc
+
+    def logdensity(pos):
+        return -0.5 * jnp.sum(pos["x"] ** 2)
+
+    def builder(step_size, inverse_mass):
+        return hmc(logdensity, step_size, 8, inverse_mass)
+
+    positions = {"x": 0.1 * jax.random.normal(key, (64, 4))}
+    states = jax.vmap(builder(1.0, None).init)(positions)
+
+    auto = jax.jit(
+        lambda s, k: window_adaptation(
+            builder, s, k, num_steps=200, initial_step_size=None
+        )
+    )(states, jax.random.key(1))
+    seeded = jax.jit(
+        lambda s, k: window_adaptation(
+            builder, s, k, num_steps=200, initial_step_size=0.5
+        )
+    )(states, jax.random.key(1))
+    assert 0.25 < float(auto.step_size) / float(seeded.step_size) < 4.0
