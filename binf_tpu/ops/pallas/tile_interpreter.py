@@ -189,19 +189,211 @@ def _slice_rule(prim, invals, params, out_avals, bc):
     return [LaneTile(a)]
 
 
+def _lane_reduce(a: Array, axes, jnp_fn) -> Array:
+    """Reduce over logical axes of a tile, Mosaic-safely.
+
+    Mosaic lowers reductions over the LEADING axes of a tile (axis 0, or a
+    full logical reduce) but rejects reductions over the second-minor axis
+    of a >=3-D array ("Invalid relayout ... replicated in destination") --
+    verified empirically on v5e.  Canonicalize: transpose the reduced axes
+    to the front (leading-dim transposes are supported) and reduce there.
+    Kept axes preserve their relative order, so the result shape matches a
+    plain reduce.
+    """
+    L = a.ndim - 1  # logical rank
+    axes = tuple(sorted(int(ax) % L for ax in axes))
+    if not axes:
+        return a
+    leading_prefix = axes == tuple(range(len(axes)))
+    full = len(axes) == L
+    if L >= 2 and not (leading_prefix or full):
+        kept = tuple(d for d in range(L) if d not in axes)
+        a = jnp.transpose(a, axes + kept + (L,))
+        return jnp_fn(a, axis=tuple(range(len(axes))))
+    return jnp_fn(a, axis=axes)
+
+
 def _reduce_rule(jnp_fn):
     def rule(prim, invals, params, out_avals, bc):
         (x,) = invals
         axes = tuple(params["axes"])
-        return [LaneTile(jnp_fn(x.arr, axis=axes))]
+        return [LaneTile(_lane_reduce(x.arr, axes, jnp_fn))]
 
     return rule
 
 
-def _argminmax_unsupported(prim, invals, params, out_avals, bc):
-    raise UnsupportedPrimitiveError(
-        f"{prim.name} is not lane-batchable; rewrite the model without it"
-    )
+def _argminmax_rule(reducer, select_cmp):
+    """argmax/argmin as reduce + iota-min: index of the first extremum,
+    matching XLA's lowest-index tie-breaking.  The target axis is transposed
+    to the logical front first (Mosaic cannot reduce a second-minor axis)."""
+
+    def rule(prim, invals, params, out_avals, bc):
+        (x,) = invals
+        (axis,) = params["axes"]
+        idx_dtype = params["index_dtype"]
+        a = x.arr
+        L = a.ndim - 1
+        axis = int(axis) % L
+        if axis != 0 and L >= 2:
+            kept = tuple(d for d in range(L) if d != axis)
+            a = jnp.transpose(a, (axis,) + kept + (L,))
+        else:
+            axis = 0 if L >= 1 else axis
+        m = reducer(a, axis=0, keepdims=True)
+        iota = lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        n = a.shape[0]
+        cand = jnp.where(a == m, iota, jnp.int32(n))
+        out = jnp.min(cand, axis=0).astype(idx_dtype)
+        return [LaneTile(out)]
+
+    return rule
+
+
+def _iota_rule(prim, invals, params, out_avals, bc):
+    """iota materialized AS A TILE: Mosaic rejects 1-D iota, and Pallas
+    kernels cannot capture array constants, so the only safe form is a
+    broadcasted_iota op carrying the lane axis."""
+    shape = tuple(params["shape"])
+    out = lax.broadcasted_iota(params["dtype"], shape + (bc,), params["dimension"])
+    return [LaneTile(out)]
+
+
+def _shift_along(a: Array, axis: int, d: int, fill) -> Array:
+    """``a`` shifted by +d along ``axis`` (elements move toward higher
+    indices), vacated slots filled with ``fill``.  Negative ``d`` shifts the
+    other way.  Built from pad + slice only (Mosaic-safe on leading dims)."""
+    if d == 0:
+        return a
+    n = a.shape[axis]
+    pads = [(0, 0, 0)] * a.ndim
+    if d > 0:
+        pads[axis] = (d, 0, 0)
+    else:
+        pads[axis] = (0, -d, 0)
+    padded = lax.pad(a, jnp.asarray(fill, a.dtype), pads)
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(0, n) if d > 0 else slice(-d, n - d)
+    return padded[tuple(idx)]
+
+
+def _cumulative_rule(combine, identity):
+    """Inclusive cumulative op via log-depth shift-and-combine doubling.
+    Mosaic has no native cumsum; pad+slice shifts are lane-preserving."""
+
+    def rule(prim, invals, params, out_avals, bc):
+        (x,) = invals
+        axis = params["axis"]
+        reverse = params.get("reverse", False)
+        a = x.arr
+        n = a.shape[axis]
+        d = 1
+        sign = -1 if reverse else 1
+        while d < n:
+            a = combine(a, _shift_along(a, axis, sign * d, identity))
+            d *= 2
+        return [LaneTile(a)]
+
+    return rule
+
+
+def _lex_less(keys_a, keys_b):
+    """Lexicographic a < b over parallel key lists."""
+    lt = jnp.zeros(keys_a[0].shape, jnp.bool_)
+    eq = jnp.ones(keys_a[0].shape, jnp.bool_)
+    for ka, kb in zip(keys_a, keys_b):
+        lt = lt | (eq & (ka < kb))
+        eq = eq & (ka == kb)
+    return lt
+
+
+def _pad_fill_value(dtype):
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.inf
+    if jnp.issubdtype(dtype, jnp.integer):
+        return jnp.iinfo(dtype).max
+    return True  # bool
+
+
+def _sort_rule(prim, invals, params, out_avals, bc):
+    """Bitonic sorting network over a leading (non-lane) axis.
+
+    All operands are co-sorted by a lexicographic comparator over the first
+    ``num_keys`` operands, extended by the REMAINING operands as
+    tie-breakers: for ``argsort`` (values + iota) this reproduces a stable
+    sort exactly; for equal keys without an index operand the output is
+    deterministic but not XLA-stable.  Compare-exchange partners at distance
+    ``jj`` are addressed by reshaping the sort axis into ``(m, 2, jj)`` --
+    leading-dim reshapes only, lanes untouched.
+    """
+    axis = params["dimension"]
+    num_keys = params["num_keys"]
+    logicals = [
+        x.logical_shape if _is_tile(x) else tuple(jnp.shape(x)) for x in invals
+    ]
+    arrs = [_to_tile(x, s, bc) for x, s in zip(invals, logicals)]
+
+    n = arrs[0].shape[axis]
+    n_pad = 1 << max(0, (n - 1).bit_length())
+    if n_pad != n:
+        padded = []
+        for i, a in enumerate(arrs):
+            fill = _pad_fill_value(a.dtype) if i < num_keys else 0
+            pads = [(0, 0, 0)] * a.ndim
+            pads[axis] = (0, n_pad - n, 0)
+            padded.append(lax.pad(a, jnp.asarray(fill, a.dtype), pads))
+        arrs = padded
+
+    def split(a, jj):
+        s = a.shape
+        m = s[axis] // (2 * jj)
+        b = a.reshape(s[:axis] + (m, 2, jj) + s[axis + 1 :])
+        lo_idx = [slice(None)] * b.ndim
+        hi_idx = [slice(None)] * b.ndim
+        lo_idx[axis + 1] = 0
+        hi_idx[axis + 1] = 1
+        return b[tuple(lo_idx)], b[tuple(hi_idx)]
+
+    def merge(lo, hi, axis):
+        # lo/hi: (*lead, m, jj, *rest) -> interleave the compare-exchange
+        # halves back into (*lead, m*2*jj, *rest)
+        s = lo.shape
+        lo = lo.reshape(s[: axis + 1] + (1,) + s[axis + 1 :])
+        hi = hi.reshape(s[: axis + 1] + (1,) + s[axis + 1 :])
+        out = lax.concatenate([lo, hi], axis + 1)
+        return out.reshape(s[:axis] + (s[axis] * 2 * s[axis + 1],) + s[axis + 2 :])
+
+    k = 2
+    while k <= n_pad:
+        jj = k // 2
+        while jj >= 1:
+            los, his = zip(*(split(a, jj) for a in arrs))
+            # ascending where bit k of the element index is 0; that bit is
+            # determined entirely by the block coordinate m (= index // 2jj)
+            iota_m = lax.broadcasted_iota(jnp.int32, los[0].shape, axis)
+            ascending = ((iota_m * (2 * jj)) & k) == 0
+            swap_if_asc = _lex_less(his, los)
+            swap_if_desc = _lex_less(los, his)
+            # int32 arithmetic, not select-of-bools: Mosaic cannot lower
+            # select_n over i1 vectors (i8->i1 truncation) on >2-D shapes
+            asc_i = ascending.astype(jnp.int32)
+            swap = (
+                asc_i * swap_if_asc.astype(jnp.int32)
+                + (1 - asc_i) * swap_if_desc.astype(jnp.int32)
+            ) > 0
+            new = [
+                (jnp.where(swap, h, l), jnp.where(swap, l, h))
+                for l, h in zip(los, his)
+            ]
+            arrs = [merge(l, h, axis) for l, h in new]
+            jj //= 2
+        k *= 2
+
+    if n_pad != n:
+        idx = [slice(None)] * arrs[0].ndim
+        idx[axis] = slice(0, n)
+        arrs = [a[tuple(idx)] for a in arrs]
+    return [LaneTile(a) for a in arrs]
 
 
 def _dot_general_rule(prim, invals, params, out_avals, bc):
@@ -244,7 +436,7 @@ def _dot_general_rule(prim, invals, params, out_avals, bc):
     a_arr = a_arr.reshape(a_shape + (a_arr.shape[-1],))
     b_arr = b_arr.reshape(b_shape + (b_arr.shape[-1],))
     prod = a_arr * b_arr  # broadcasts over free dims and lanes
-    out = jnp.sum(prod, axis=tuple(range(na + nb, na + nb + nc)))
+    out = _lane_reduce(prod, tuple(range(na + nb, na + nb + nc)), jnp.sum)
     return [LaneTile(out)]
 
 
@@ -281,61 +473,131 @@ def _rev_rule(prim, invals, params, out_avals, bc):
     return [LaneTile(a)]
 
 
-def _gather_rule(prim, invals, params, out_avals, bc):
-    """Gather with UNBATCHED indices (static fancy indexing, e.g.
-    ``x[pairs]``) -> one-hot matmul over the gathered dims.  Rides the MXU
-    and keeps lanes untouched; per-chain (traced) indices are unsupported.
-    """
-    operand, indices = invals
-    if _is_tile(indices):
-        raise UnsupportedPrimitiveError(
-            "gather with per-chain indices is not lane-batchable"
-        )
-    if not _is_tile(operand):
-        return [prim.bind(operand, indices, **params)]
+def _gather_pattern(params, s):
+    """Validate the supported whole-element gather/scatter pattern and
+    return ``(sim, rest)``: the index-mapped dims and the carried dims."""
     dn = params["dimension_numbers"]
-    slice_sizes = tuple(params["slice_sizes"])
-    s = operand.logical_shape
-    sim = tuple(dn.start_index_map)
-    if (
-        tuple(dn.collapsed_slice_dims) != tuple(sorted(sim))
-        or dn.operand_batching_dims
-        or dn.start_indices_batching_dims
-        or any(slice_sizes[d] != 1 for d in sim)
-        or any(slice_sizes[d] != s[d] for d in range(len(s)) if d not in sim)
-    ):
+    slice_sizes = params.get("slice_sizes")
+    sim = tuple(dn.start_index_map) if hasattr(dn, "start_index_map") else tuple(
+        dn.scatter_dims_to_operand_dims
+    )
+    collapsed = (
+        tuple(dn.collapsed_slice_dims)
+        if hasattr(dn, "collapsed_slice_dims")
+        else tuple(dn.inserted_window_dims)
+    )
+    batching = (
+        getattr(dn, "operand_batching_dims", ())
+        or getattr(dn, "start_indices_batching_dims", ())
+        or getattr(dn, "scatter_indices_batching_dims", ())
+    )
+    ok = collapsed == tuple(sorted(sim)) and not batching
+    if ok and slice_sizes is not None:
+        ok = all(slice_sizes[d] == 1 for d in sim) and all(
+            slice_sizes[d] == s[d] for d in range(len(s)) if d not in sim
+        )
+    if not ok:
         raise UnsupportedPrimitiveError(
-            "gather pattern not lane-batchable (only whole-element static "
+            "gather/scatter pattern not lane-batchable (only whole-element "
             "indexing is supported in the fused kernel)"
         )
     rest = [d for d in range(len(s)) if d not in sim]
-    batch_shape = tuple(indices.shape[:-1])
+    return sim, rest
+
+
+def _flat_index(idx_rows, s, sim, tile: bool):
+    """Mixed-radix flatten of index columns; invalid (out-of-range) indices
+    map to -1 so they never match a one-hot row (FILL_OR_DROP semantics).
+    ``idx_rows`` is (B, k) unbatched or (B, k, BC) tile."""
+    strides = np.cumprod([1] + [s[d] for d in reversed(sim)])[::-1][1:]
+    col = (lambda j: idx_rows[:, j, :]) if tile else (lambda j: idx_rows[:, j])
+    k = idx_rows.shape[1]
+    flat = sum(col(j).astype(jnp.int32) * int(strides[j]) for j in range(k))
+    valid = None
+    for j in range(k):
+        v = (col(j) >= 0) & (col(j) < s[sim[j]])
+        valid = v if valid is None else (valid & v)
+    return jnp.where(valid, flat, jnp.int32(-1))
+
+
+_MAX_CARRIED = 256
+
+
+def _gather_rule(prim, invals, params, out_avals, bc):
+    """Gather -> one-hot contraction over the gathered dims.
+
+    Unbatched indices (static fancy indexing, e.g. ``x[pairs]``) ride the
+    MXU as ``(B, n) @ (n, BC)`` matmuls; per-chain (traced) indices build a
+    lane-resident one-hot ``(B, n, BC)`` and reduce on the VPU.  Lanes are
+    untouched either way.
+    """
+    operand, indices = invals
+    idx_tile = _is_tile(indices)
+    if not _is_tile(operand) and not idx_tile:
+        return [prim.bind(operand, indices, **params)]
+    op_t = operand if _is_tile(operand) else None
+    s = op_t.logical_shape if op_t else tuple(operand.shape)
+    sim, rest = _gather_pattern(params, s)
+    dn = params["dimension_numbers"]
+
+    idx_shape = indices.logical_shape if idx_tile else tuple(indices.shape)
+    batch_shape = tuple(idx_shape[:-1])
     n_batch = len(batch_shape)
     if tuple(dn.offset_dims) != tuple(range(n_batch, n_batch + len(rest))):
         raise UnsupportedPrimitiveError("gather offset_dims not trailing")
 
     # flatten mapped dims to the front
-    a = jnp.transpose(operand.arr, tuple(sim) + tuple(rest) + (len(s),))
     n = int(np.prod([s[d] for d in sim])) if sim else 1
     rest_sizes = tuple(s[d] for d in rest)
     r = int(np.prod(rest_sizes)) if rest else 1
-    if r > 64:
+    if r > _MAX_CARRIED:
         raise UnsupportedPrimitiveError(
             f"gather with {r} carried elements per index is too large for "
             "the one-hot lowering"
         )
-    a = a.reshape((n,) + rest_sizes + (bc,))
+    if op_t:
+        a = jnp.transpose(op_t.arr, tuple(sim) + tuple(rest) + (len(s),))
+        a = a.reshape((n,) + rest_sizes + (bc,))
+        dtype = op_t.arr.dtype
+    else:
+        a = jnp.transpose(jnp.asarray(operand), tuple(sim) + tuple(rest))
+        a = a.reshape((n,) + rest_sizes)
+        dtype = a.dtype
 
     # scalar-only constants: Pallas kernels cannot capture array constants,
     # so strides multiply-accumulate with python ints and the iota is an op
+    if idx_tile:
+        idx = indices.arr.reshape((-1, idx_shape[-1], bc))
+        flat_idx = _flat_index(idx, s, sim, tile=True)  # (B, BC)
+        b_rows = int(flat_idx.shape[0])
+        # one-hot laid out (n, B, BC) so the contraction reduces axis 0
+        # (Mosaic rejects second-minor reductions on 3-D tiles)
+        iota = lax.broadcasted_iota(jnp.int32, (n, b_rows, bc), 0)
+        onehot = (flat_idx[None, :, :] == iota).astype(jnp.float32)  # (n,B,BC)
+        cols = []
+        for j in range(r):
+            rest_idx = np.unravel_index(j, rest_sizes) if rest else ()
+            sel = (slice(None),) + tuple(int(i) for i in rest_idx)
+            piece = a[sel + (slice(None),)] if op_t else a[sel]
+            if op_t:
+                out_j = jnp.sum(onehot * piece[:, None, :].astype(jnp.float32),
+                                axis=0)
+            else:
+                out_j = jnp.sum(
+                    onehot * piece.astype(jnp.float32)[:, None, None], axis=0
+                )
+            cols.append(out_j[:, None, :])
+        out = lax.concatenate(cols, 1) if r > 1 or rest else cols[0][:, 0, :]
+        if rest:
+            out = out.reshape((-1,) + rest_sizes + (bc,))
+        out = out.reshape(batch_shape + rest_sizes + (bc,))
+        return [LaneTile(out.astype(dtype))]
+
     idx = indices.reshape(-1, indices.shape[-1])  # (B, k)
-    strides = np.cumprod([1] + [s[d] for d in reversed(sim)])[::-1][1:]
-    flat_idx = sum(
-        idx[:, j] * int(strides[j]) for j in range(idx.shape[-1])
-    )
+    flat_idx = _flat_index(idx, s, sim, tile=False)
     b_rows = int(flat_idx.shape[0])
-    iota = lax.broadcasted_iota(flat_idx.dtype, (b_rows, n), 1)
-    onehot = (flat_idx[:, None] == iota).astype(operand.arr.dtype)  # (B, n)
+    iota = lax.broadcasted_iota(jnp.int32, (b_rows, n), 1)
+    onehot = (flat_idx[:, None] == iota).astype(jnp.float32)  # (B, n)
 
     if rest:
         cols = []
@@ -350,7 +612,305 @@ def _gather_rule(prim, invals, params, out_avals, bc):
         out = lax.dot_general(onehot, a, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     out = out.reshape(batch_shape + rest_sizes + (bc,))
-    return [LaneTile(out.astype(operand.arr.dtype))]
+    return [LaneTile(out.astype(dtype))]
+
+
+def _scatter_rule(is_add):
+    """scatter-add / scatter(set) -> transposed one-hot contraction.
+
+    Same whole-element pattern as the gather rule.  ``scatter-add`` with
+    unbatched indices is the segment-sum of grouped/hierarchical models and
+    rides the MXU as ``(n, B) @ (B, BC)``.  ``scatter`` (set) assumes unique
+    indices (XLA's own semantics for duplicates are undefined).
+    """
+
+    def rule(prim, invals, params, out_avals, bc):
+        operand, indices, updates = invals
+        if _is_tile(indices):
+            raise UnsupportedPrimitiveError(
+                "scatter with per-chain indices is not lane-batchable"
+            )
+        s = operand.logical_shape if _is_tile(operand) else tuple(operand.shape)
+        sim, rest = _gather_pattern(params, s)
+        dn = params["dimension_numbers"]
+        if tuple(dn.update_window_dims) != tuple(
+            range(indices.ndim - 1, indices.ndim - 1 + len(rest))
+        ):
+            raise UnsupportedPrimitiveError("scatter update_window_dims not trailing")
+
+        rest_sizes = tuple(s[d] for d in rest)
+        r = int(np.prod(rest_sizes)) if rest else 1
+        n = int(np.prod([s[d] for d in sim])) if sim else 1
+        if r > _MAX_CARRIED:
+            raise UnsupportedPrimitiveError(
+                f"scatter with {r} carried elements per index is too large"
+            )
+
+        upd = _to_tile(updates,
+                       updates.logical_shape if _is_tile(updates)
+                       else tuple(updates.shape), bc)
+        op_arr = _to_tile(operand, s, bc)
+        dtype = op_arr.dtype
+
+        a = jnp.transpose(op_arr, tuple(sim) + tuple(rest) + (len(s),))
+        a = a.reshape((n,) + rest_sizes + (bc,))
+        upd = upd.reshape((-1,) + rest_sizes + (bc,))  # (B, *rest, BC)
+
+        idx = indices.reshape(-1, indices.shape[-1])
+        flat_idx = _flat_index(idx, s, sim, tile=False)
+        b_rows = int(flat_idx.shape[0])
+        iota = lax.broadcasted_iota(jnp.int32, (b_rows, n), 1)
+        onehot = (flat_idx[:, None] == iota).astype(jnp.float32)  # (B, n)
+
+        pieces = []
+        for j in range(r):
+            rest_idx = np.unravel_index(j, rest_sizes) if rest else ()
+            sel = (slice(None),) + tuple(int(i) for i in rest_idx) + (slice(None),)
+            upd_j = upd[sel].astype(jnp.float32)  # (B, BC)
+            scat_j = lax.dot_general(
+                onehot, upd_j, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (n, BC)
+            a_j = a[sel]
+            if is_add:
+                new_j = a_j + scat_j.astype(dtype)
+            else:
+                hit = jnp.sum(onehot, axis=0) > 0  # (n,)
+                new_j = jnp.where(hit[:, None], scat_j.astype(dtype), a_j)
+            pieces.append(new_j.reshape((n,) + (1,) * len(rest) + (bc,)))
+        if rest:
+            out = lax.concatenate(pieces, 1) if r > 1 else pieces[0]
+            out = out.reshape((n,) + rest_sizes + (bc,))
+        else:
+            out = pieces[0].reshape((n, bc))
+        # un-flatten and transpose back
+        out = out.reshape(tuple(s[d] for d in sim) + rest_sizes + (bc,))
+        perm = tuple(sim) + tuple(rest)
+        inv = [0] * len(perm)
+        for i, p in enumerate(perm):
+            inv[p] = i
+        out = jnp.transpose(out, tuple(inv) + (len(s),))
+        return [LaneTile(out)]
+
+    return rule
+
+
+def _dynamic_slice_rule(prim, invals, params, out_avals, bc):
+    """dynamic_slice: unbatched (traced) starts lower to a real dynamic
+    slice on the leading dims; per-chain starts become shifted one-hot
+    contractions (slice size along per-chain dims must be small)."""
+    operand, *starts = invals
+    sizes = tuple(params["slice_sizes"])
+    op_t = _is_tile(operand)
+    if not any(_is_tile(st) for st in starts):
+        if not op_t:
+            return [prim.bind(operand, *starts, **params)]
+        out = lax.dynamic_slice(
+            operand.arr,
+            tuple(starts) + (jnp.zeros((), jnp.int32),),
+            sizes + (operand.arr.shape[-1],),
+        )
+        return [LaneTile(out)]
+
+    s = operand.logical_shape if op_t else tuple(operand.shape)
+    a = _to_tile(operand, s, bc)
+    for d, (st, k) in enumerate(zip(starts, sizes)):
+        nd = a.shape[d]
+        if not _is_tile(st):
+            if k == nd:
+                continue
+            zero = jnp.zeros((), jnp.int32)
+            sl_starts = [zero] * a.ndim
+            sl_sizes = list(a.shape)
+            sl_starts[d] = st
+            sl_sizes[d] = k
+            a = lax.dynamic_slice(a, tuple(sl_starts), tuple(sl_sizes))
+            continue
+        if k > 8:
+            raise UnsupportedPrimitiveError(
+                f"dynamic_slice with per-chain start and size {k} along one "
+                "dim is too large for the one-hot lowering"
+            )
+        idx = jnp.clip(st.arr.astype(jnp.int32), 0, nd - k)  # (BC,)
+        shape = [1] * a.ndim
+        shape[-1] = bc
+        idx_b = idx.reshape(shape)
+        iota = lax.broadcasted_iota(jnp.int32, a.shape, d)
+        keep_shape = a.shape[:d] + (1,) + a.shape[d + 1 :]
+        slabs = []
+        for j in range(k):
+            onehot = (iota == (idx_b + j)).astype(a.dtype)
+            red = _lane_reduce(a * onehot, (d,), jnp.sum)
+            slabs.append(red.reshape(keep_shape))
+        a = lax.concatenate(slabs, d) if k > 1 else slabs[0]
+    return [LaneTile(a)]
+
+
+def _dynamic_update_slice_rule(prim, invals, params, out_avals, bc):
+    """dynamic_update_slice with per-chain starts -> one-hot blend.  The
+    update window must be small (it is unrolled position by position)."""
+    operand, update, *starts = invals
+    if not any(_is_tile(x) for x in invals):
+        return [prim.bind(operand, update, *starts, **params)]
+    s = operand.logical_shape if _is_tile(operand) else tuple(operand.shape)
+    u_s = update.logical_shape if _is_tile(update) else tuple(update.shape)
+    a = _to_tile(operand, s, bc)
+    u = _to_tile(update, u_s, bc)
+
+    if not any(_is_tile(st) for st in starts):
+        out = lax.dynamic_update_slice(
+            a, u, tuple(starts) + (jnp.zeros((), jnp.int32),)
+        )
+        return [LaneTile(out)]
+
+    win = int(np.prod(u_s)) if u_s else 1
+    if win > 64:
+        raise UnsupportedPrimitiveError(
+            f"dynamic_update_slice with per-chain start and a {win}-element "
+            "window is too large for the one-hot lowering"
+        )
+    idxs = []
+    for d, st in enumerate(starts):
+        nd, k = s[d], u_s[d]
+        if _is_tile(st):
+            iv = jnp.clip(st.arr.astype(jnp.int32), 0, nd - k)
+        else:
+            iv = jnp.broadcast_to(
+                jnp.clip(jnp.asarray(st, jnp.int32), 0, nd - k), (bc,)
+            )
+        idxs.append(iv)
+    iotas = [lax.broadcasted_iota(jnp.int32, a.shape, d) for d in range(len(s))]
+    shape = [1] * a.ndim
+    shape[-1] = bc
+    for j in range(win):
+        pos = np.unravel_index(j, u_s) if u_s else ()
+        mask = None
+        for d in range(len(s)):
+            m = iotas[d] == (idxs[d] + int(pos[d]) if u_s else idxs[d]).reshape(shape)
+            mask = m if mask is None else (mask & m)
+        u_j = u[tuple(int(p) for p in pos) + (slice(None),)]
+        u_b = u_j.reshape(shape[:-1] + [bc]) if u_j.ndim == 1 else u_j
+        a = jnp.where(mask, u_b, a)
+    return [LaneTile(a)]
+
+
+# -- control flow --------------------------------------------------------------
+
+#: scans up to this length are unrolled into straight-line code (Mosaic's
+#: best case, and the VJP stays straight-line too); longer scans emit a real
+#: ``lax.scan`` over the tile arrays.
+SCAN_UNROLL_LIMIT = 128
+
+
+def _as_tile(x, bc) -> LaneTile:
+    if _is_tile(x):
+        return x
+    a = jnp.asarray(x)
+    return LaneTile(jnp.broadcast_to(a[..., None], a.shape + (bc,)))
+
+
+def _cond_rule(prim, invals, params, out_avals, bc):
+    """lax.cond with a per-chain predicate: evaluate ALL branches, select
+    lane-wise.  This is exactly what ``vmap(cond)`` does on the XLA path, so
+    semantics (including the where-NaN gradient caveat) are preserved."""
+    branches = params["branches"]
+    idx, *ops = invals
+    branch_outs = [
+        eval_jaxpr_lanes(b.jaxpr, b.consts, *ops, bc=bc) for b in branches
+    ]
+    n_out = len(branch_outs[0])
+    outs = []
+    for o in range(n_out):
+        cases = [bo[o] for bo in branch_outs]
+        if not _is_tile(idx) and not any(_is_tile(c) for c in cases):
+            i_cl = jnp.clip(idx, 0, len(cases) - 1)
+            outs.append(lax.select_n(i_cl, *[jnp.asarray(c) for c in cases]))
+            continue
+        logical = tuple(out_avals[o].shape)
+        cases_t = [_to_tile(c, logical, bc) for c in cases]
+        idx_t = _to_tile(idx, logical, bc)
+        if len(cases) == 2 and idx_t.dtype == jnp.bool_:
+            outs.append(LaneTile(lax.select_n(idx_t, *cases_t)))
+        else:
+            idx_t = jnp.clip(idx_t.astype(jnp.int32), 0, len(cases) - 1)
+            outs.append(LaneTile(lax.select_n(idx_t, *cases_t)))
+    return outs
+
+
+def _scan_rule(prim, invals, params, out_avals, bc):
+    """lax.scan: the body is lane-batched recursively; short scans unroll
+    into straight-line code, long scans emit a real ``lax.scan`` whose
+    carries/ys are the tile arrays (lane axis riding along untouched).
+    This is what admits state-space / AR forward models into the fused
+    kernel (VERDICT round-1 item 1)."""
+    inner = params["jaxpr"]  # ClosedJaxpr
+    nc, nk = params["num_consts"], params["num_carry"]
+    length, reverse = params["length"], params["reverse"]
+    consts = invals[:nc]
+    carry0 = [_as_tile(c, bc) for c in invals[nc : nc + nk]]
+    xs = invals[nc + nk :]
+    carry_logicals = [tuple(v.aval.shape) for v in inner.jaxpr.invars[nc : nc + nk]]
+
+    def body(carry_tiles, x_slices):
+        outs = eval_jaxpr_lanes(
+            inner.jaxpr, inner.consts, *consts, *carry_tiles, *x_slices, bc=bc
+        )
+        new_carry = [
+            LaneTile(_to_tile(o, lg, bc))
+            for o, lg in zip(outs[:nk], carry_logicals)
+        ]
+        ys = [_as_tile(o, bc) for o in outs[nk:]]
+        return new_carry, ys
+
+    if length <= SCAN_UNROLL_LIMIT:
+        order = range(length - 1, -1, -1) if reverse else range(length)
+        carry = carry0
+        ys_acc: list[list] = []
+        for t in order:
+            x_t = [
+                LaneTile(x.arr[t]) if _is_tile(x) else x[t] for x in xs
+            ]
+            carry, ys = body(carry, x_t)
+            ys_acc.append(ys)
+        if reverse:
+            ys_acc.reverse()
+        stacked = []
+        n_ys = len(ys_acc[0]) if ys_acc else 0
+        for o in range(n_ys):
+            slabs = [ys_acc[t][o].arr[None] for t in range(length)]
+            stacked.append(LaneTile(lax.concatenate(slabs, 0)))
+        return list(carry) + stacked
+
+    xs_tiled = [_is_tile(x) for x in xs]
+    xs_arrs = tuple(x.arr if _is_tile(x) else jnp.asarray(x) for x in xs)
+
+    def scan_body(c_arrs, x_arrs):
+        carry_tiles = [LaneTile(a) for a in c_arrs]
+        x_vals = [
+            LaneTile(a) if t else a for a, t in zip(x_arrs, xs_tiled)
+        ]
+        new_carry, ys = body(carry_tiles, x_vals)
+        return (
+            tuple(c.arr for c in new_carry),
+            tuple(y.arr for y in ys),
+        )
+
+    final, ys = lax.scan(
+        scan_body,
+        tuple(c.arr for c in carry0),
+        xs_arrs,
+        length=length,
+        reverse=reverse,
+    )
+    return [LaneTile(a) for a in final] + [LaneTile(a) for a in ys]
+
+
+def _while_unsupported(prim, invals, params, out_avals, bc):
+    raise UnsupportedPrimitiveError(
+        "while_loop has a data-dependent trip count and cannot be "
+        "lane-batched; use lax.scan / lax.fori_loop with a static bound "
+        "(mask the tail) instead"
+    )
 
 
 _RULES = {
@@ -366,19 +926,38 @@ _RULES = {
     "reduce_prod": _reduce_rule(jnp.prod),
     "reduce_and": _reduce_rule(jnp.all),
     "reduce_or": _reduce_rule(jnp.any),
-    "argmax": _argminmax_unsupported,
-    "argmin": _argminmax_unsupported,
+    "argmax": _argminmax_rule(jnp.max, jnp.greater),
+    "argmin": _argminmax_rule(jnp.min, jnp.less),
     "dot_general": _dot_general_rule,
     "gather": _gather_rule,
+    "scatter-add": _scatter_rule(is_add=True),
+    "scatter": _scatter_rule(is_add=False),
+    "dynamic_slice": _dynamic_slice_rule,
+    "dynamic_update_slice": _dynamic_update_slice_rule,
     "concatenate": _concatenate_rule,
     "pad": _pad_rule,
     "rev": _rev_rule,
+    "iota": _iota_rule,
+    "sort": _sort_rule,
+    "cumsum": _cumulative_rule(lax.add, 0),
+    "cumprod": _cumulative_rule(lax.mul, 1),
+    "cummax": _cumulative_rule(lax.max, -jnp.inf),
+    "cummin": _cumulative_rule(lax.min, jnp.inf),
+    "cumlogsumexp": _cumulative_rule(jnp.logaddexp, -jnp.inf),
+    "cond": _cond_rule,
+    "scan": _scan_rule,
+    "while": _while_unsupported,
     "integer_pow": _unary_shape_rule,
     "convert_element_type": _unary_shape_rule,
     "reduce_precision": _unary_shape_rule,
     "copy": _unary_shape_rule,
     "stop_gradient": _unary_shape_rule,
 }
+
+# rules that must run even when no input is a tile: iota (Mosaic rejects the
+# 1-D form the fallback would emit) and control flow (inner jaxprs may close
+# over tiles via consts, and all-branch evaluation must stay lane-aware)
+_ALWAYS_RULES = {"iota", "cond", "scan"}
 
 # primitives whose params carry a sub-jaxpr to inline
 _CALL_PRIMS = ("jit", "pjit", "closed_call", "custom_jvp_call",
@@ -395,11 +974,14 @@ def _inline_jaxpr(params):
     return None, None
 
 
-def eval_jaxpr_lanes(jaxpr, consts, *args):
+def eval_jaxpr_lanes(jaxpr, consts, *args, bc=None):
     """Evaluate a per-chain ``jaxpr`` with chains batched over the lane axis.
 
     ``consts`` are unbatched arrays (data/hyperparameters); ``args`` are
-    ``LaneTile`` values (or unbatched arrays).  Returns a list matching
+    ``LaneTile`` values (or unbatched arrays).  ``bc`` (the lane batch size)
+    is inferred from the first tile argument when not given; recursive calls
+    from control-flow rules pass it explicitly because a branch/body may
+    receive no tile operands at all.  Returns a list matching
     ``jaxpr.outvars`` -- per-chain outputs come back as ``LaneTile``.
     """
     env: dict = {}
@@ -417,17 +999,17 @@ def eval_jaxpr_lanes(jaxpr, consts, *args):
     for v, a in zip(jaxpr.invars, args):
         write(v, a)
 
-    bc = None
-    for a in args:
-        if _is_tile(a):
-            bc = a.bc
-            break
+    if bc is None:
+        for a in args:
+            if _is_tile(a):
+                bc = a.bc
+                break
     assert bc is not None, "at least one argument must be a LaneTile"
 
     for eqn in jaxpr.eqns:
         invals = [read(v) for v in eqn.invars]
         prim = eqn.primitive
-        if not any(_is_tile(x) for x in invals):
+        if not any(_is_tile(x) for x in invals) and prim.name not in _ALWAYS_RULES:
             out = prim.bind(*invals, **eqn.params)
             outs = list(out) if prim.multiple_results else [out]
         elif prim.name in _CALL_PRIMS:
@@ -439,7 +1021,7 @@ def eval_jaxpr_lanes(jaxpr, consts, *args):
             n_extra = len(inner.invars) - len(invals)
             if prim.name == "custom_jvp_call" and n_extra < 0:
                 invals = invals[-len(inner.invars):]
-            outs = eval_jaxpr_lanes(inner, inner_consts, *invals)
+            outs = eval_jaxpr_lanes(inner, inner_consts, *invals, bc=bc)
         elif prim.name in _ELEMENTWISE:
             outs = _elementwise_rule(prim, invals, eqn.params,
                                      [v.aval for v in eqn.outvars], bc)

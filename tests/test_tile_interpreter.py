@@ -119,7 +119,8 @@ def test_interpreter_basic_ops():
 
 def test_unsupported_primitive_raises():
     def f(q):
-        return jnp.sum(jnp.sort(q))  # sort has no lane rule
+        # while_loop has a data-dependent trip count: no lane rule by design
+        return jax.lax.while_loop(lambda x: jnp.sum(x) < 100.0, lambda x: x + 1.0, q)[0]
 
     jaxpr = jax.make_jaxpr(f)(jnp.zeros(4))
     with pytest.raises(UnsupportedPrimitiveError):
@@ -149,7 +150,221 @@ def test_interpreter_extra_rules():
 def test_build_time_unsupported_error_is_actionable():
     """Models with un-batchable primitives fail at BUILD time with guidance."""
     def logdensity(pos):
-        return jnp.sum(jnp.sort(pos["x"]))
+        x = jax.lax.while_loop(
+            lambda x: jnp.sum(x) < 100.0, lambda x: x + 1.0, pos["x"]
+        )
+        return jnp.sum(x)
 
     with pytest.raises(UnsupportedPrimitiveError, match="XLA path"):
         tile_potential_from_scalar(logdensity, {"x": jnp.zeros(4)})
+
+
+# -- new-rule matrix: every rule checked value- AND gradient-exact vs vmap ----
+
+
+def _vmap_equiv(f, *shapes, seed=0, atol=1e-5, grad=True):
+    args = [
+        jax.random.normal(jax.random.key(seed + i), (BC,) + s, jnp.float32)
+        for i, s in enumerate(shapes)
+    ]
+    jaxpr = jax.make_jaxpr(f)(*[a[0] for a in args])
+    tiles = [LaneTile(jnp.moveaxis(a, 0, -1)) for a in args]
+    outs = eval_jaxpr_lanes(jaxpr.jaxpr, jaxpr.consts, *tiles)
+    refs = jax.vmap(f)(*args)
+    if not isinstance(refs, tuple):
+        refs = (refs,)
+    for o, r in zip(outs, refs):
+        got = np.moveaxis(np.asarray(o.arr), -1, 0)
+        np.testing.assert_allclose(got, np.asarray(r), rtol=1e-4, atol=atol)
+    if grad and len(args) == 1 and jnp.ndim(refs[0]) == 1:
+        def tile_scalar(qt):
+            (o,) = eval_jaxpr_lanes(jaxpr.jaxpr, jaxpr.consts, LaneTile(qt))
+            return jnp.sum(o.arr)
+
+        g = jax.grad(tile_scalar)(jnp.moveaxis(args[0], 0, -1))
+        g_ref = jax.vmap(jax.grad(f))(args[0])
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(g), -1, 0), np.asarray(g_ref),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_sort_and_argsort():
+    _vmap_equiv(lambda q: jnp.sum(jnp.sort(q) * jnp.arange(7.0)), (7,))
+    _vmap_equiv(
+        lambda q: jnp.sum(jnp.argsort(q).astype(jnp.float32) * q), (7,),
+        grad=False,
+    )
+    # co-sorted multi-operand output (non-power-of-two length -> padding)
+    _vmap_equiv(
+        lambda q: (jnp.sort(q), jnp.argsort(q).astype(jnp.float32)), (6,),
+        grad=False,
+    )
+    _vmap_equiv(lambda q: jnp.sum(jnp.sort(q)[-3:]), (10,))  # top-k pattern
+
+
+def test_argmax_argmin():
+    _vmap_equiv(
+        lambda q: jnp.argmax(q).astype(jnp.float32)
+        + jnp.argmin(q).astype(jnp.float32),
+        (9,),
+        grad=False,
+    )
+    # axis argmax on a matrix variable
+    _vmap_equiv(
+        lambda q: jnp.sum(jnp.argmax(q.reshape(3, 4), axis=1).astype(jnp.float32)),
+        (12,),
+        grad=False,
+    )
+
+
+def test_cumulative_ops():
+    _vmap_equiv(lambda q: jnp.sum(jnp.cumsum(q) * q), (11,))
+    _vmap_equiv(lambda q: jnp.sum(jnp.cumprod(jnp.abs(q) + 0.5)), (6,))
+    _vmap_equiv(lambda q: jnp.sum(jax.lax.cumlogsumexp(q)), (9,))
+    _vmap_equiv(
+        lambda q: jnp.sum(jnp.cumsum(q.reshape(3, 4), axis=1) * q.reshape(3, 4)),
+        (12,),
+    )
+    _vmap_equiv(lambda q: jnp.sum(jnp.cumsum(q[::-1])), (5,))
+
+
+def test_iota_primitive():
+    _vmap_equiv(lambda q: jnp.sum(q * jax.lax.iota(jnp.float32, 5)), (5,))
+
+
+def test_reduce_middle_axis():
+    """Reductions over non-leading axes of matrix variables (the Mosaic
+    second-minor canonicalization path)."""
+    _vmap_equiv(lambda q: jnp.sum(jnp.max(q.reshape(4, 3), axis=1)), (12,))
+    _vmap_equiv(
+        lambda q: jnp.sum(
+            jax.scipy.special.logsumexp(q.reshape(5, 2, 3), axis=1)
+        ),
+        (30,),
+    )
+
+
+def test_dynamic_slice_per_chain():
+    def f(q):
+        i = jnp.clip(jnp.int32(q[0] * 2 + 2), 0, 5)
+        return jnp.sum(jax.lax.dynamic_slice(q, (i,), (3,)))
+
+    _vmap_equiv(f, (8,), grad=False)
+
+    def scalar_idx(q):
+        i = jnp.clip(jnp.int32(q[1] * 3 + 3), 0, 7)
+        return q[i] * 2.0
+
+    _vmap_equiv(scalar_idx, (8,), grad=False)
+
+
+def test_dynamic_update_slice_per_chain():
+    def f(q):
+        i = jnp.clip(jnp.int32(q[0] + 2), 0, 5)
+        q2 = jax.lax.dynamic_update_slice(q, jnp.ones(2) * 3.0, (i,))
+        return jnp.sum(q2 * q)
+
+    _vmap_equiv(f, (8,), grad=False)
+
+
+def test_cond_and_switch():
+    def f(q):
+        return jax.lax.cond(
+            q[0] > 0, lambda x: jnp.sum(x**2), lambda x: -jnp.sum(x), q
+        )
+
+    _vmap_equiv(f, (6,))
+
+    def sw(q):
+        i = jnp.clip(jnp.int32(q[0] + 1), 0, 2)
+        return jax.lax.switch(
+            i,
+            [lambda x: jnp.sum(x), lambda x: jnp.sum(x**2), lambda x: jnp.max(x)],
+            q,
+        )
+
+    _vmap_equiv(sw, (6,), grad=False)
+
+
+def test_scan_rules():
+    def ar(q):  # sequential carry: the state-space pattern
+        phi, x0 = q[0] * 0.5, q[1]
+
+        def step(c, _):
+            c = phi * c + 0.1
+            return c, c
+
+        _, ys = jax.lax.scan(step, x0, None, length=12)
+        return jnp.sum(ys**2)
+
+    _vmap_equiv(ar, (4,))
+
+    def ar_long(q):  # beyond SCAN_UNROLL_LIMIT -> real lax.scan of tiles
+        phi, x0 = q[0] * 0.2, q[1]
+
+        def step(c, t):
+            c = phi * c + 0.01 * t
+            return c, c * c
+
+        _, ys = jax.lax.scan(step, x0, jnp.arange(200.0))
+        return jnp.sum(ys)
+
+    _vmap_equiv(ar_long, (4,))
+
+    def scan_xs(q):  # per-chain xs input
+        def step(c, x):
+            return c + x * x, c
+
+        cf, ys = jax.lax.scan(step, 0.0, q)
+        return cf + jnp.sum(ys)
+
+    _vmap_equiv(scan_xs, (10,))
+
+
+def test_gather_per_chain_indices():
+    def f(q):
+        idxs = jnp.clip((q[:3] * 2 + 4).astype(jnp.int32), 0, 7)
+        return jnp.sum(q[idxs] * jnp.arange(3.0))
+
+    _vmap_equiv(f, (8,), grad=False)
+
+
+def test_scatter_add_segment_sum():
+    seg = jnp.array([0, 1, 0, 2, 1, 0])
+
+    def f(q):
+        z = jnp.zeros(3).at[seg].add(q)
+        return jnp.sum(z**2)
+
+    _vmap_equiv(f, (6,))
+
+
+def test_mixture_density_through_interpreter():
+    """sort + logsumexp + component-axis reductions: the mixture workload."""
+    from binf_tpu.example.mixture import make_mixture_posterior, synthetic_mixture_data
+
+    y = synthetic_mixture_data(jax.random.key(0), 64)
+    post = make_mixture_posterior(y)
+    template = {
+        "means": jnp.zeros(3),
+        "log_weights": jnp.zeros(3),
+        "log_sigma": jnp.zeros(()),
+    }
+    _check_potential_matches_vmap(
+        lambda p: post.log_prob(p), template, jax.random.key(5), atol=1e-3
+    )
+
+
+def test_statespace_density_through_interpreter():
+    """lax.scan forward model: the sequential workload."""
+    from binf_tpu.example.statespace import make_ar1_posterior, synthetic_ar1_data
+    from binf_tpu.pdf.transforms import LogTransform, transform_logdensity
+
+    y = synthetic_ar1_data(jax.random.key(0), 32)
+    post = make_ar1_posterior(y)
+    ld = transform_logdensity(
+        lambda p: post.log_prob(p), {"precision": LogTransform}
+    )
+    template = {"dynamics": jnp.zeros(3), "precision": jnp.zeros(())}
+    _check_potential_matches_vmap(ld, template, jax.random.key(6), atol=1e-3)
