@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,7 @@ from binf_tpu.ops.pallas.tile_interpreter import (
 Array = jax.Array
 
 __all__ = [
+    "FusedRunResult",
     "fused_potential_hmc_run",
     "tile_potential_from_scalar",
     "pack_positions",
@@ -207,11 +208,17 @@ def _kernel(
     d: int,
     host_noise: bool,
     thin: int,
+    collect: str,
 ):
-    (seed_ref, eps_ref, q0_ref, im_ref), rest = refs[:4], refs[4:]
+    (seed_ref, off_ref, eps_ref, q0_ref, im_ref), rest = refs[:5], refs[5:]
     n_consts = len(const_names)
     const_refs = rest[:n_consts]
-    mom_ref, unif_ref, out_ref, acc_ref, q_scr = rest[n_consts:]
+    if collect == "moments":
+        mom_ref, unif_ref, mean_ref, m2_ref, qf_ref, acc_ref, q_scr = rest[n_consts:]
+        out_ref = None
+    else:
+        mom_ref, unif_ref, out_ref, qf_ref, acc_ref, q_scr = rest[n_consts:]
+        mean_ref = m2_ref = None
 
     i = pl.program_id(0)  # chain tile
     j = pl.program_id(1)  # step block
@@ -220,13 +227,21 @@ def _kernel(
     @pl.when(j == 0)
     def _():
         q_scr[:] = q0_ref[:]
+        if collect == "moments":
+            mean_ref[:] = jnp.zeros(mean_ref.shape, jnp.float32)
+            m2_ref[:] = jnp.zeros(m2_ref.shape, jnp.float32)
 
     @pl.when((i == 0) & (j == 0))
     def _():
         acc_ref[0, 0] = jnp.zeros((), jnp.float32)
 
     if not host_noise:
-        pltpu.prng_seed(seed_ref[0, 0], i * pl.num_programs(1) + j)
+        # stream indexed by (chain tile, ABSOLUTE block): a run split into
+        # consecutive calls with increasing block_offset replays the exact
+        # noise of one uninterrupted call (checkpoint/resume contract).
+        # Mosaic caps prng_seed at 2 values, so tile and block fold into
+        # one index (tiles < 2^11, absolute blocks < 2^20).
+        pltpu.prng_seed(seed_ref[0, 0], i * (1 << 20) + off_ref[0, 0] + j)
 
     consts = {name: ref[:] for name, ref in zip(const_names, const_refs)}
     im = im_ref[:]  # (D_pad, 1) inverse-mass diag, zero on padding rows
@@ -275,7 +290,14 @@ def _kernel(
         accept = log_u < (E0 - E1)
         q = jnp.where(accept, q_new, q)
         q_scr[:] = q
-        if thin == 1:
+        if collect == "moments":
+            # streaming Welford over steps (numerically stable for runs far
+            # beyond f32 plain-sum accuracy); count n spans step blocks
+            n = (j * steps_per_block + carry + 1).astype(jnp.float32)
+            delta = q - mean_ref[:]
+            mean_ref[:] = mean_ref[:] + delta / n
+            m2_ref[:] = m2_ref[:] + delta * (q - mean_ref[:])
+        elif thin == 1:
             out_ref[carry] = q
         else:
             @pl.when(carry % thin == thin - 1)
@@ -285,6 +307,7 @@ def _kernel(
         return carry + 1
 
     jax.lax.fori_loop(0, steps_per_block, hmc_step, 0)
+    qf_ref[:] = q_scr[:]
 
 
 def _pad_const(x: Array) -> Array:
@@ -306,11 +329,29 @@ def _pad_const(x: Array) -> Array:
     return x
 
 
+class FusedRunResult(NamedTuple):
+    """Output of one fused whole-run kernel invocation.
+
+    ``draws`` is ``(num_steps // thin, C, D)`` (``collect="draws"``) or
+    ``None``; ``mean``/``variance`` are streaming Welford moments ``(C, D)``
+    (``collect="moments"``, O(D) HBM instead of O(steps*D)) or ``None``;
+    ``final_positions`` ``(C, D)`` feeds the next block's ``q0`` -- the
+    state-out/state-in contract that makes fused runs checkpointable
+    (reference failure mode: samples in RAM, ``example_script.py:32-34``).
+    """
+
+    draws: Array | None
+    mean: Array | None
+    variance: Array | None
+    accept_rate: Array
+    final_positions: Array
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "potential", "num_steps", "num_leapfrog", "block_chains",
-        "steps_per_block", "interpret", "host_noise", "thin",
+        "steps_per_block", "interpret", "host_noise", "thin", "collect",
     ),
 )
 def fused_potential_hmc_run(
@@ -328,16 +369,28 @@ def fused_potential_hmc_run(
     interpret: bool = False,
     host_noise: bool = False,
     thin: int = 1,
-):
+    collect: str = "draws",
+    block_offset=0,
+) -> FusedRunResult:
     """Run ``num_steps`` fused HMC sweeps of ``exp(-potential)``.
 
-    Returns ``(draws (num_steps // thin, C, D), accept_rate)``.  Layout,
-    PRNG, and streaming semantics are identical to ``fused_linreg_hmc_run``
-    -- see the module docstring for the tile contract.  ``step_size`` may be
-    per-chain (from ``window_adaptation(per_chain=True)``); ``thin`` keeps
-    every thin-th draw, bounding HBM for long runs (draws cost
-    ``num_steps/thin * D_pad * C * 4`` bytes).
+    Layout, PRNG, and streaming semantics are identical to
+    ``fused_linreg_hmc_run`` -- see the module docstring for the tile
+    contract.  ``step_size`` may be per-chain (from
+    ``window_adaptation(per_chain=True)``); ``thin`` keeps every thin-th
+    draw, bounding HBM for long runs (draws cost
+    ``num_steps/thin * D_pad * C * 4`` bytes); ``collect="moments"``
+    accumulates Welford mean/variance in-kernel instead of storing draws.
+
+    ``block_offset`` (device-noise path) indexes the PRNG stream by
+    ABSOLUTE step block: chaining calls with ``final_positions`` ->
+    ``q0`` and ``block_offset += num_steps // steps_per_block`` reproduces
+    one uninterrupted run bitwise -- the checkpoint/resume contract
+    (SURVEY.md section 5).  With ``host_noise`` the caller supplies
+    per-call seeds instead (the block driver folds the key per block).
     """
+    if collect not in ("draws", "moments"):
+        raise ValueError(f"unknown {collect=}")
     C, D = q0.shape
     assert C % block_chains == 0 and num_steps % steps_per_block == 0
     assert steps_per_block % thin == 0
@@ -346,6 +399,7 @@ def fused_potential_hmc_run(
     q0_t = jnp.zeros((d_pad, C), jnp.float32).at[:D, :].set(q0.T)
     im = jnp.zeros((d_pad, 1), jnp.float32).at[:D, 0].set(inverse_mass)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    off_arr = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
     eps_arr = jnp.broadcast_to(
         jnp.asarray(step_size, jnp.float32).reshape(1, -1), (1, C)
     )
@@ -374,6 +428,7 @@ def fused_potential_hmc_run(
         d=D,
         host_noise=host_noise,
         thin=thin,
+        collect=collect,
     )
     if host_noise:
         noise_index = lambda i, j: (j, 0, i)
@@ -381,24 +436,47 @@ def fused_potential_hmc_run(
         noise_index = lambda i, j: (0, 0, i)
 
     fixed = lambda i, j: (0, 0)
+    tile_ix = lambda i, j: (0, i)
     const_specs = [
         pl.BlockSpec(arr.shape, fixed, memory_space=pltpu.VMEM)
         for arr in const_arrays
     ]
 
-    draws, acc = pl.pallas_call(
-        kernel,
-        out_shape=[
+    if collect == "moments":
+        collect_shapes = [
+            jax.ShapeDtypeStruct((d_pad, C), jnp.float32),  # Welford mean
+            jax.ShapeDtypeStruct((d_pad, C), jnp.float32),  # Welford M2
+        ]
+        collect_specs = [
+            pl.BlockSpec((d_pad, block_chains), tile_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, block_chains), tile_ix, memory_space=pltpu.VMEM),
+        ]
+    else:
+        collect_shapes = [
             jax.ShapeDtypeStruct((num_steps // thin, d_pad, C), jnp.float32),
+        ]
+        collect_specs = [
+            pl.BlockSpec(
+                (steps_per_block // thin, d_pad, block_chains),
+                lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=collect_shapes + [
+            jax.ShapeDtypeStruct((d_pad, C), jnp.float32),  # final positions
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         grid_spec=pl.GridSpec(
             grid=(n_tiles, n_blocks),
             in_specs=[
                 pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, block_chains), lambda i, j: (0, i),
+                pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_chains), tile_ix,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d_pad, block_chains), lambda i, j: (0, i),
+                pl.BlockSpec((d_pad, block_chains), tile_ix,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, 1), fixed, memory_space=pltpu.VMEM),
                 *const_specs,
@@ -407,12 +485,9 @@ def fused_potential_hmc_run(
                 pl.BlockSpec((steps_per_block, 1, block_chains),
                              noise_index, memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec(
-                    (steps_per_block // thin, d_pad, block_chains),
-                    lambda i, j: (j, 0, i),
-                    memory_space=pltpu.VMEM,
-                ),
+            out_specs=collect_specs + [
+                pl.BlockSpec((d_pad, block_chains), tile_ix,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[pltpu.VMEM((d_pad, block_chains), jnp.float32)],
@@ -423,7 +498,26 @@ def fused_potential_hmc_run(
             bytes_accessed=4 * num_steps * d_pad * C,
             transcendentals=4 * d_pad * C * num_steps,
         ),
-    )(seed_arr, eps_arr, q0_t, im, *const_arrays, mom, unif)
+    )(seed_arr, off_arr, eps_arr, q0_t, im, *const_arrays, mom, unif)
 
+    *collected, qf, acc = outs
     accept_rate = acc[0, 0] / (num_steps * n_tiles)
-    return jnp.transpose(draws[:, :D, :], (0, 2, 1)), accept_rate
+    final_positions = qf[:D, :].T
+    if collect == "moments":
+        mean_t, m2_t = collected
+        n = jnp.float32(num_steps)
+        return FusedRunResult(
+            draws=None,
+            mean=mean_t[:D, :].T,
+            variance=(m2_t[:D, :] / jnp.maximum(n - 1.0, 1.0)).T,
+            accept_rate=accept_rate,
+            final_positions=final_positions,
+        )
+    (draws,) = collected
+    return FusedRunResult(
+        draws=jnp.transpose(draws[:, :D, :], (0, 2, 1)),
+        mean=None,
+        variance=None,
+        accept_rate=accept_rate,
+        final_positions=final_positions,
+    )

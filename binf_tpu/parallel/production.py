@@ -33,7 +33,14 @@ from binf_tpu.samplers.base import SamplerKernel
 
 Array = jax.Array
 
-__all__ = ["InferenceCarry", "InferenceResult", "run_blocks"]
+__all__ = [
+    "InferenceCarry",
+    "InferenceResult",
+    "run_blocks",
+    "FusedBlocksCarry",
+    "FusedBlocksResult",
+    "run_fused_blocks",
+]
 
 
 class InferenceCarry(NamedTuple):
@@ -151,5 +158,231 @@ def run_blocks(
         variance=welford_variance(carry.moments, regularize=False),
         draws=draws,
         divergence_fraction=float(jnp.mean(carry.n_divergences > 0)),
+        elapsed=elapsed,
+    )
+
+
+# -- fused whole-run kernels driven in checkpointable blocks ------------------
+
+
+class FusedBlocksCarry(NamedTuple):
+    """Resumable state between fused-kernel blocks (an Orbax pytree)."""
+
+    positions: Array  # (C, D) flat unconstrained
+    mean: Array  # (C, D) streaming Welford mean over all completed blocks
+    m2: Array  # (C, D) Welford M2
+    count: Array  # () f32, steps accumulated
+    block: Array  # () int32, blocks completed
+    step_size: Array  # (C,) frozen post-warmup
+    inverse_mass: Array  # (D,)
+
+
+class FusedBlocksResult(NamedTuple):
+    carry: FusedBlocksCarry
+    mean: dict[str, Array]  # (C, ...) per variable
+    variance: dict[str, Array]
+    draws: dict[str, Array] | None
+    accept_rate: float
+    elapsed: float
+
+
+@jax.jit
+def _welford_merge(mean_a, m2_a, n_a, mean_b, m2_b, n_b):
+    """Chan et al. parallel combine of two Welford accumulators."""
+    n = n_a + n_b
+    delta = mean_b - mean_a
+    mean = mean_a + delta * (n_b / n)
+    m2 = m2_a + m2_b + delta * delta * (n_a * n_b / n)
+    return mean, m2, n
+
+
+def run_fused_blocks(
+    logdensity_fn,
+    initial_positions: dict[str, Array],  # chain-batched (C, ...) per leaf
+    key: Array,
+    num_steps: int,
+    block_size: int = 1000,
+    num_warmup: int = 400,
+    num_leapfrog: int = 10,
+    initial_step_size: float | None = 0.05,
+    block_chains: int = 512,
+    thin: int | None = None,
+    collect_draws: bool = False,
+    checkpoint_path: str | None = None,
+    checkpoint_every_blocks: int = 0,
+    resume: bool = False,
+    logger: MetricsLogger | None = None,
+    host_noise: bool | None = None,
+    interpret: bool | None = None,
+) -> FusedBlocksResult:
+    """Drive the fused whole-run HMC kernel in checkpointable blocks.
+
+    The operational complement of :func:`run_blocks` for the fused path
+    (round-1 VERDICT item 3): warmup adaptation runs ONCE on the XLA path;
+    each block is then a single ``pallas_call`` that returns its final
+    positions and in-kernel Welford moments, the driver merges moments
+    across blocks (Chan combine), optionally checkpoints the carry with
+    Orbax, and a preempted run resumes BITWISE from the last checkpoint --
+    per-block PRNG streams are keyed by ``(key, block index)`` only.
+
+    ``collect_draws=True`` switches the kernel to draws mode (HBM cost
+    ``block_size/thin * D * C * 4`` bytes per block) and derives moments
+    host-side from the same draws.
+    """
+    from binf_tpu.ops.pallas.fused_potential import (
+        fused_potential_hmc_run,
+        pack_positions,
+        unpack_draws,
+    )
+    from binf_tpu.samplers.adaptation import window_adaptation
+    from binf_tpu.samplers.fused import _cached_tile_potential
+    from binf_tpu.samplers.hmc import hmc
+
+    assert num_steps % block_size == 0
+    thin = thin or 1
+    template = jax.tree.map(lambda x: x[0], initial_positions)
+    potential, consts, spec = _cached_tile_potential(logdensity_fn, template)
+    D = sum(size for _, _, size in spec)
+    C = jax.tree.leaves(initial_positions)[0].shape[0]
+
+    on_cpu = jax.default_backend() == "cpu"
+    if host_noise is None:
+        host_noise = on_cpu
+    if interpret is None:
+        interpret = on_cpu
+
+    k_warm, k_run = jax.random.split(key)
+
+    def builder(step_size, inverse_mass):
+        return hmc(logdensity_fn, step_size, num_leapfrog, inverse_mass)
+
+    @jax.jit
+    def warm(positions, k):
+        states = jax.vmap(
+            builder(
+                1.0 if initial_step_size is None else initial_step_size, None
+            ).init
+        )(positions)
+        adapt = window_adaptation(
+            builder, states, k, num_steps=num_warmup,
+            initial_step_size=initial_step_size,
+        )
+        q0 = pack_positions(adapt.final_states.position, spec)
+        im = pack_positions(
+            jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + jnp.shape(x)),
+                         adapt.inverse_mass),
+            spec,
+        )[0]
+        eps = jnp.broadcast_to(
+            jnp.asarray(adapt.step_size, jnp.float32).reshape(-1), (C,)
+        )
+        return q0, im, eps
+
+    q0, im, eps = warm(initial_positions, k_warm)
+    carry = FusedBlocksCarry(
+        positions=q0,
+        mean=jnp.zeros((C, D), jnp.float32),
+        m2=jnp.zeros((C, D), jnp.float32),
+        count=jnp.zeros((), jnp.float32),
+        block=jnp.zeros((), jnp.int32),
+        step_size=eps,
+        inverse_mass=im,
+    )
+    if resume and checkpoint_path is not None:
+        try:
+            carry = load_checkpoint(checkpoint_path, carry)
+        except Exception:
+            pass  # fresh start
+
+    bc = min(block_chains, C)
+    while C % bc:
+        bc -= 1
+    spb = min(max(50, thin), block_size)
+    while block_size % spb or spb % thin:
+        spb -= 1
+    run_kwargs = dict(
+        num_steps=block_size,
+        num_leapfrog=num_leapfrog,
+        block_chains=bc,
+        steps_per_block=spb,
+        interpret=interpret,
+        host_noise=host_noise,
+    )
+
+    @jax.jit
+    def draws_moments(draws):
+        mean = jnp.mean(draws, axis=0)
+        m2 = jnp.sum((draws - mean[None]) ** 2, axis=0)
+        return mean, m2
+
+    all_draws = []
+    acc_sum = 0.0
+    n_blocks = num_steps // block_size
+    start_block = int(carry.block)
+    t0 = time.perf_counter()
+    for b in range(start_block, n_blocks):
+        seed_b = jax.random.randint(
+            jax.random.fold_in(k_run, b), (), 0, 2**31 - 1
+        )
+        if collect_draws:
+            res = fused_potential_hmc_run(
+                potential, carry.positions, seed_b, carry.step_size,
+                carry.inverse_mass, consts, thin=thin, collect="draws",
+                **run_kwargs,
+            )
+            all_draws.append(res.draws)
+            mean_b, m2_b = draws_moments(res.draws)
+            n_b = jnp.float32(res.draws.shape[0])
+        else:
+            res = fused_potential_hmc_run(
+                potential, carry.positions, seed_b, carry.step_size,
+                carry.inverse_mass, consts, collect="moments", **run_kwargs,
+            )
+            mean_b = res.mean
+            m2_b = res.variance * jnp.float32(block_size - 1)
+            n_b = jnp.float32(block_size)
+        mean, m2, count = _welford_merge(
+            carry.mean, carry.m2, carry.count, mean_b, m2_b, n_b
+        )
+        acc_sum += float(res.accept_rate)
+        carry = carry._replace(
+            positions=res.final_positions,
+            mean=mean,
+            m2=m2,
+            count=count,
+            block=carry.block + 1,
+        )
+        if logger is not None:
+            jax.block_until_ready(carry.positions)
+            logger.log(
+                step=(b + 1) * block_size,
+                n_chains=C,
+                accept_rate=float(res.accept_rate),
+            )
+        if (
+            checkpoint_path is not None
+            and checkpoint_every_blocks
+            and (b + 1) % checkpoint_every_blocks == 0
+        ):
+            jax.block_until_ready(carry.positions)
+            save_checkpoint(checkpoint_path, carry)
+    jax.block_until_ready(carry.positions)
+    elapsed = time.perf_counter() - t0
+
+    draws = None
+    if collect_draws and all_draws:
+        flat = jnp.concatenate(all_draws, axis=0)
+        draws = unpack_draws(flat, spec)
+
+    denom = jnp.maximum(carry.count - 1.0, 1.0)
+    mean = unpack_draws(carry.mean, spec)
+    variance = unpack_draws(carry.m2 / denom, spec)
+    n_run = max(n_blocks - start_block, 1)
+    return FusedBlocksResult(
+        carry=carry,
+        mean=mean,
+        variance=variance,
+        draws=draws,
+        accept_rate=acc_sum / n_run,
         elapsed=elapsed,
     )

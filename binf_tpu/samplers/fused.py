@@ -203,10 +203,13 @@ def _cached_tile_potential(logdensity_fn, template):
 
 
 class FusedModelResult(NamedTuple):
-    samples: dict[str, Array]  # unconstrained space, (num_samples, C, ...)
+    samples: dict[str, Array] | None  # unconstrained, (num_samples, C, ...)
     accept_rate: Array
     step_size: Array
     inverse_mass: Array  # flat (D,), pack order = sorted variable names
+    mean: dict[str, Array] | None = None  # Welford moments (collect="moments")
+    variance: dict[str, Array] | None = None
+    final_positions: dict[str, Array] | None = None  # (C, ...) per leaf
 
 
 def fused_model_hmc(
@@ -225,6 +228,7 @@ def fused_model_hmc(
     interpret: bool | None = None,
     trajectory: str = "fixed",
     max_leapfrog: int = 256,
+    collect: str = "draws",
 ) -> FusedModelResult:
     """Whole-run fused HMC for an ARBITRARY model.
 
@@ -242,6 +246,13 @@ def fused_model_hmc(
     collectives XLA inserts, and the sampling phase runs ONE fused kernel
     PER DEVICE over its chain shard (``shard_map``), with per-device PRNG
     streams.  Draws come back sharded on the chain axis.
+
+    ``collect="moments"`` accumulates streaming Welford mean/variance
+    INSIDE the kernel (O(D) HBM instead of O(num_samples * D)) and returns
+    them in ``result.mean`` / ``result.variance``; ``result.samples`` is
+    then None.  ``result.final_positions`` always carries the last state,
+    so runs can be chained or checkpointed
+    (``parallel.production.run_fused_blocks``).
 
     ``trajectory="chees"`` adapts the trajectory length during warmup with
     ChEES (Hoffman, Radul & Sountsov 2021) instead of using the fixed
@@ -362,35 +373,59 @@ def fused_model_hmc(
         interpret=interpret,
         host_noise=host_noise,
         thin=thin,
+        collect=collect,
     )
     if mesh is None:
-        draws, acc = fused_potential_hmc_run(
+        res = fused_potential_hmc_run(
             potential, q0, seed, eps, im_vec, consts, **run_kwargs
         )
+        collected, acc, qf = (
+            (res.mean, res.variance) if collect == "moments" else (res.draws,)
+        ), res.accept_rate, res.final_positions
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def device_run(seed_g, q0_l, eps_l, im_l, consts_l):
             seed_l = seed_g + jax.lax.axis_index("chain")
-            d, a = fused_potential_hmc_run(
+            r = fused_potential_hmc_run(
                 potential, q0_l, seed_l, eps_l, im_l, consts_l, **run_kwargs
             )
-            return d, jax.lax.pmean(a, "chain")
+            a = jax.lax.pmean(r.accept_rate, "chain")
+            if collect == "moments":
+                return (r.mean, r.variance), a, r.final_positions
+            return (r.draws,), a, r.final_positions
 
-        draws, acc = jax.jit(
+        if collect == "moments":
+            coll_spec = (P("chain", None), P("chain", None))
+        else:
+            coll_spec = (P(None, "chain", None),)
+        collected, acc, qf = jax.jit(
             shard_map(
                 device_run,
                 mesh=mesh,
                 in_specs=(P(), P("chain", None), P("chain"), P(), P()),
-                out_specs=(P(None, "chain", None), P()),
+                out_specs=(coll_spec, P(), P("chain", None)),
                 check_vma=False,  # pallas_call does not annotate vma
             )
         )(seed, q0, eps, im_vec, consts)
-    samples = _unpack_jit(draws, tuple(spec))
+    final_positions = _unpack_jit(qf, tuple(spec))
+    if collect == "moments":
+        mean, variance = collected
+        return FusedModelResult(
+            samples=None,
+            accept_rate=acc,
+            step_size=adapt.step_size,
+            inverse_mass=im_vec,
+            mean=_unpack_jit(mean, tuple(spec)),
+            variance=_unpack_jit(variance, tuple(spec)),
+            final_positions=final_positions,
+        )
+    (draws,) = collected
     return FusedModelResult(
-        samples=samples,
+        samples=_unpack_jit(draws, tuple(spec)),
         accept_rate=acc,
         step_size=adapt.step_size,
         inverse_mass=im_vec,
+        final_positions=final_positions,
     )
