@@ -51,6 +51,7 @@ Array = jax.Array
 __all__ = [
     "FusedRunResult",
     "fused_potential_hmc_run",
+    "fused_warmup_run",
     "tile_potential_from_scalar",
     "pack_positions",
     "unpack_draws",
@@ -199,6 +200,42 @@ def _normal(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
+def _hmc_transition(q, z, u, eps, im, active, value_and_grad, num_leapfrog):
+    """One MH-corrected leapfrog trajectory on the (D_pad, BC) tile.
+
+    ``z`` is standard-normal noise, ``u`` the (1, BC) MH uniform, ``eps``
+    broadcastable step size(s), ``im`` broadcastable inverse-mass diagonal.
+    Returns ``(q_next, accept, dE)`` with ``dE = E0 - E1`` so callers can
+    derive both the MH decision (sampling) and the acceptance probability
+    ``min(1, exp(dE))`` (warmup dual averaging).  Carries
+    ``(q, p, U(q), grad U(q))`` so a trajectory costs exactly
+    ``num_leapfrog + 1`` potential evaluations.
+    """
+    p = z / jnp.sqrt(jnp.maximum(im, 1e-20)) * active
+
+    U0, g = value_and_grad(q)
+    E0 = U0 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
+
+    p = p - 0.5 * eps * g
+
+    def leap(_, carry4):
+        q, p, _, _ = carry4
+        q = q + eps * p * im
+        u_, g = value_and_grad(q)
+        p = p - eps * g
+        return (q, p, u_, g)
+
+    q_new, p, U1, g_end = jax.lax.fori_loop(0, num_leapfrog, leap, (q, p, U0, g))
+    p = p + 0.5 * eps * g_end
+    E1 = U1 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
+
+    dE = E0 - E1
+    log_u = jnp.log(jnp.maximum(u, 1e-30))
+    accept = log_u < dE
+    q = jnp.where(accept, q_new, q)
+    return q, accept, dE
+
+
 def _kernel(
     *refs,
     potential,
@@ -244,7 +281,8 @@ def _kernel(
         pltpu.prng_seed(seed_ref[0, 0], i * (1 << 20) + off_ref[0, 0] + j)
 
     consts = {name: ref[:] for name, ref in zip(const_names, const_refs)}
-    im = im_ref[:]  # (D_pad, 1) inverse-mass diag, zero on padding rows
+    # (D_pad, BC) per-chain inverse-mass diag, zero on padding rows
+    im = im_ref[:]
     dp = q_scr.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (dp, 1), 0)
     active = (row < d).astype(jnp.float32)
@@ -258,37 +296,13 @@ def _kernel(
         q = q_scr[:]
         if host_noise:
             z = mom_ref[carry]
-        else:
-            z = _normal(q.shape)
-        p = z / jnp.sqrt(jnp.maximum(im, 1e-20)) * active
-
-        U0, g = value_and_grad(q)
-        E0 = U0 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
-
-        p = p - 0.5 * eps * g
-
-        # carry (q, p, U(q), grad U(q)) so the trajectory costs exactly
-        # num_leapfrog + 1 potential evaluations per proposal
-        def leap(_, carry4):
-            q, p, _, _ = carry4
-            q = q + eps * p * im
-            u, g = value_and_grad(q)
-            p = p - eps * g
-            return (q, p, u, g)
-
-        q_new, p, U1, g_end = jax.lax.fori_loop(
-            0, num_leapfrog, leap, (q, p, U0, g)
-        )
-        p = p + 0.5 * eps * g_end
-        E1 = U1 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
-
-        if host_noise:
             u = unif_ref[carry]
         else:
-            u = _uniform(E0.shape)
-        log_u = jnp.log(jnp.maximum(u, 1e-30))
-        accept = log_u < (E0 - E1)
-        q = jnp.where(accept, q_new, q)
+            z = _normal(q.shape)
+            u = _uniform((1, q.shape[1]))
+        q, accept, _ = _hmc_transition(
+            q, z, u, eps, im, active, value_and_grad, num_leapfrog
+        )
         q_scr[:] = q
         if collect == "moments":
             # streaming Welford over steps (numerically stable for runs far
@@ -329,6 +343,276 @@ def _pad_const(x: Array) -> Array:
     return x
 
 
+# -- fused warmup -------------------------------------------------------------
+
+
+def _warmup_schedule(num_steps, initial_buffer=75, final_buffer=50, first_window=25):
+    """Static Stan window schedule: (initial_buffer, final_buffer, reset
+    steps).  Identical partitioning to
+    ``samplers.adaptation._stan_window_schedule`` so the fused and XLA
+    warmups see the same windows."""
+    if num_steps < initial_buffer + final_buffer + first_window:
+        initial_buffer = max(1, int(0.15 * num_steps))
+        final_buffer = max(1, int(0.1 * num_steps))
+    boundaries = []
+    w = first_window
+    pos = initial_buffer
+    while pos + w < num_steps - final_buffer:
+        pos += w
+        boundaries.append(pos)
+        w *= 2
+    return initial_buffer, final_buffer, tuple(boundaries[:-1])
+
+
+def _warmup_kernel(
+    *refs,
+    potential,
+    const_names,
+    num_warmup: int,
+    num_leapfrog: int,
+    d: int,
+    host_noise: bool,
+    schedule,
+    target_accept: float,
+):
+    (seed_ref, eps0_ref, q0_ref), rest = refs[:3], refs[3:]
+    n_consts = len(const_names)
+    const_refs = rest[:n_consts]
+    mom_ref, unif_ref, qf_ref, eps_out_ref, im_out_ref, q_scr = rest[n_consts:]
+
+    i = pl.program_id(0)
+    if not host_noise:
+        pltpu.prng_seed(seed_ref[0, 0], i)
+
+    consts = {name: ref[:] for name, ref in zip(const_names, const_refs)}
+    dp, bc = q_scr.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (dp, 1), 0)
+    active = (row < d).astype(jnp.float32)
+
+    def value_and_grad(q):
+        u, vjp = jax.vjp(lambda qq: potential(qq, consts), q)
+        (g,) = vjp(jnp.ones_like(u))
+        return u, g * active
+
+    q_scr[:] = q0_ref[:]
+
+    ib, fb, resets = schedule
+    one = jnp.ones((1, 1), jnp.float32)
+    zero = jnp.zeros((1, 1), jnp.float32)
+    col = jnp.zeros((dp, 1), jnp.float32)
+    log_eps0 = zero + jnp.log(eps0_ref[0, 0])
+
+    def regularized_variance(n, m2):
+        # Stan mass-matrix shrinkage, = ops.math.welford_variance(regularize=True)
+        v = m2 / jnp.maximum(n - 1.0, 1.0)
+        w = n / (n + 5.0)
+        return w * v + (1.0 - w) * 1e-3
+
+    def step(t, carry):
+        (log_step, log_step_avg, grad_avg, count, mu,
+         wf_n, wf_mean, wf_m2, im) = carry
+        q = q_scr[:]
+        if host_noise:
+            z = mom_ref[t]
+            u = unif_ref[t]
+        else:
+            z = _normal(q.shape)
+            u = _uniform((1, q.shape[1]))
+        eps = jnp.exp(log_step)
+        q, _, dE = _hmc_transition(
+            q, z, u, eps, im, active, value_and_grad, num_leapfrog
+        )
+        q_scr[:] = q
+
+        # pooled dual averaging over the tile's chains (Stan constants,
+        # mirrors samplers.adaptation.dual_averaging_update)
+        alpha = jnp.minimum(1.0, jnp.exp(jnp.minimum(dE, 0.0)))
+        alpha = jnp.where(jnp.isnan(dE), 0.0, alpha)
+        a_mean = jnp.mean(alpha, axis=1, keepdims=True)
+        count = count + 1.0
+        w = 1.0 / (count + 10.0)
+        grad_avg = (1.0 - w) * grad_avg + w * (target_accept - a_mean)
+        log_step = mu - jnp.sqrt(count) / 0.05 * grad_avg
+        eta = count ** -0.75
+        log_step_avg = eta * log_step + (1.0 - eta) * log_step_avg
+
+        # cross-chain Welford fold (Chan combine, n_b = lane count) during
+        # slow windows -- the metric pools chains x steps samples per tile
+        is_slow = jnp.logical_and(t >= ib, t < num_warmup - fb)
+        nb = jnp.float32(bc)
+        bm = jnp.mean(q, axis=1, keepdims=True)
+        bm2 = jnp.sum((q - bm) ** 2, axis=1, keepdims=True)
+        n_new = wf_n + nb
+        delta = bm - wf_mean
+        mean_new = wf_mean + delta * (nb / n_new)
+        m2_new = wf_m2 + bm2 + delta * delta * (wf_n * nb / n_new)
+        wf_n = jnp.where(is_slow, n_new, wf_n)
+        wf_mean = jnp.where(is_slow, mean_new, wf_mean)
+        wf_m2 = jnp.where(is_slow, m2_new, wf_m2)
+
+        # window boundary: harvest the metric, restart Welford + dual
+        # averaging at the current step size (Stan window semantics)
+        if resets:
+            is_reset = functools.reduce(
+                jnp.logical_or, [t == b for b in resets]
+            )
+            v = regularized_variance(wf_n, wf_m2) * active
+            im = jnp.where(is_reset, v, im)
+            wf_n = jnp.where(is_reset, zero, wf_n)
+            wf_mean = jnp.where(is_reset, col, wf_mean)
+            wf_m2 = jnp.where(is_reset, col, wf_m2)
+            mu = jnp.where(is_reset, jnp.log(10.0) + log_step, mu)
+            log_step_avg = jnp.where(is_reset, zero, log_step_avg)
+            grad_avg = jnp.where(is_reset, zero, grad_avg)
+            count = jnp.where(is_reset, zero, count)
+        return (log_step, log_step_avg, grad_avg, count, mu,
+                wf_n, wf_mean, wf_m2, im)
+
+    carry0 = (
+        log_eps0,                      # log_step
+        zero,                          # log_step_avg
+        zero,                          # gradient_avg
+        zero,                          # count
+        jnp.log(10.0) + log_eps0,      # mu
+        zero,                          # welford count
+        col,                           # welford mean
+        col,                           # welford m2
+        active,                        # inverse mass (identity on active rows)
+    )
+    (log_step, log_step_avg, _, _, _, wf_n, _, wf_m2, im) = jax.lax.fori_loop(
+        0, num_warmup, step, carry0
+    )
+    # final harvest: fold the last (unreset) slow window into the metric
+    v = regularized_variance(wf_n, wf_m2) * active
+    im = jnp.where(wf_n > 2.0, v, im)
+
+    qf_ref[:] = q_scr[:]
+    eps_out_ref[:] = jnp.broadcast_to(jnp.exp(log_step_avg), (1, bc))
+    im_out_ref[:] = jnp.broadcast_to(im, (dp, bc))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "potential", "num_warmup", "num_leapfrog", "block_chains",
+        "interpret", "host_noise", "target_accept",
+    ),
+)
+def fused_warmup_run(
+    potential,
+    q0: Array,  # (C, D) flat unconstrained positions
+    seed,
+    initial_step_size,
+    consts: dict[str, Array],
+    *,
+    num_warmup: int,
+    num_leapfrog: int = 10,
+    block_chains: int = 512,
+    interpret: bool = False,
+    host_noise: bool = False,
+    target_accept: float = 0.8,
+):
+    """Stan-style warmup executed INSIDE one Pallas kernel.
+
+    Runs ``num_warmup`` adaptation sweeps per chain tile with pooled dual
+    averaging (step size driven to ``target_accept`` mean acceptance across
+    the tile's chains) and windowed cross-chain Welford mass estimation --
+    the same schedule and update rules as the XLA
+    ``samplers.adaptation.window_adaptation``, with the one difference that
+    statistics pool over the ``block_chains`` chains of a tile rather than
+    the full chain batch (512+ chains per pool make the estimates
+    statistically indistinguishable).
+
+    Returns ``(positions (C, D), step_size (C,), inverse_mass (C, D))``
+    ready to feed :func:`fused_potential_hmc_run` -- warmup + sampling is
+    then two ``pallas_call``s inside one jit, i.e. ONE host dispatch
+    (replaces the reference's in-loop naive adaptation,
+    ``binf/samplers/hmc.py:183-191``).
+    """
+    C, D = q0.shape
+    assert C % block_chains == 0
+    d_pad = ((D + 7) // 8) * 8
+
+    q0_t = jnp.zeros((d_pad, C), jnp.float32).at[:D, :].set(q0.T)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    eps0_arr = jnp.asarray(initial_step_size, jnp.float32).reshape(1, 1)
+
+    const_names = tuple(sorted(consts))
+    const_arrays = [_pad_const(consts[k]) for k in const_names]
+
+    if host_noise:
+        kn = jax.random.key(jnp.asarray(seed, jnp.uint32))
+        k1, k2 = jax.random.split(kn)
+        mom = jax.random.normal(k1, (num_warmup, d_pad, C), jnp.float32)
+        unif = jax.random.uniform(k2, (num_warmup, 1, C), jnp.float32)
+        noise_steps = num_warmup
+    else:
+        mom = jnp.zeros((1, d_pad, C), jnp.float32)
+        unif = jnp.zeros((1, 1, C), jnp.float32)
+        noise_steps = 1
+
+    n_tiles = C // block_chains
+    fixed = lambda i: (0, 0)
+    tile_ix = lambda i: (0, i)
+    noise_ix = lambda i: (0, 0, i)
+    const_specs = [
+        pl.BlockSpec(arr.shape, fixed, memory_space=pltpu.VMEM)
+        for arr in const_arrays
+    ]
+
+    kernel = functools.partial(
+        _warmup_kernel,
+        potential=potential,
+        const_names=const_names,
+        num_warmup=num_warmup,
+        num_leapfrog=num_leapfrog,
+        d=D,
+        host_noise=host_noise,
+        schedule=_warmup_schedule(num_warmup),
+        target_accept=target_accept,
+    )
+
+    qf, eps, im = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((d_pad, C), jnp.float32),  # warmed positions
+            jax.ShapeDtypeStruct((1, C), jnp.float32),      # step sizes
+            jax.ShapeDtypeStruct((d_pad, C), jnp.float32),  # inverse mass
+        ],
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
+                pl.BlockSpec((d_pad, block_chains), tile_ix,
+                             memory_space=pltpu.VMEM),
+                *const_specs,
+                pl.BlockSpec((noise_steps, d_pad, block_chains),
+                             noise_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((noise_steps, 1, block_chains),
+                             noise_ix, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((d_pad, block_chains), tile_ix,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_chains), tile_ix,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_pad, block_chains), tile_ix,
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((d_pad, block_chains), jnp.float32)],
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * d_pad * block_chains * num_warmup * (num_leapfrog + 3) * 64,
+            bytes_accessed=4 * num_warmup * d_pad * C,
+            transcendentals=4 * d_pad * C * num_warmup,
+        ),
+    )(seed_arr, eps0_arr, q0_t, *const_arrays, mom, unif)
+
+    return qf[:D, :].T, eps[0, :], im[:D, :].T
+
+
 class FusedRunResult(NamedTuple):
     """Output of one fused whole-run kernel invocation.
 
@@ -359,7 +643,7 @@ def fused_potential_hmc_run(
     q0: Array,  # (C, D) flat unconstrained positions
     seed,
     step_size,  # scalar or per-chain (C,)
-    inverse_mass: Array,  # (D,)
+    inverse_mass: Array,  # (D,) shared or (C, D) per-chain diagonal
     consts: dict[str, Array],
     *,
     num_steps: int,
@@ -397,7 +681,10 @@ def fused_potential_hmc_run(
     d_pad = ((D + 7) // 8) * 8
 
     q0_t = jnp.zeros((d_pad, C), jnp.float32).at[:D, :].set(q0.T)
-    im = jnp.zeros((d_pad, 1), jnp.float32).at[:D, 0].set(inverse_mass)
+    im_in = jnp.asarray(inverse_mass, jnp.float32)
+    if im_in.ndim == 1:  # shared across chains
+        im_in = jnp.broadcast_to(im_in[None, :], (C, D))
+    im = jnp.zeros((d_pad, C), jnp.float32).at[:D, :].set(im_in.T)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     off_arr = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
     eps_arr = jnp.broadcast_to(
@@ -478,7 +765,8 @@ def fused_potential_hmc_run(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, block_chains), tile_ix,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d_pad, 1), fixed, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_pad, block_chains), tile_ix,
+                             memory_space=pltpu.VMEM),
                 *const_specs,
                 pl.BlockSpec((steps_per_block, d_pad, block_chains),
                              noise_index, memory_space=pltpu.VMEM),

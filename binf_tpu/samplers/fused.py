@@ -30,6 +30,7 @@ from binf_tpu.ops.pallas.fused_hmc import (
 )
 from binf_tpu.ops.pallas.fused_potential import (
     fused_potential_hmc_run,
+    fused_warmup_run,
     pack_positions,
     tile_potential_from_scalar,
     unpack_draws,
@@ -229,6 +230,7 @@ def fused_model_hmc(
     trajectory: str = "fixed",
     max_leapfrog: int = 256,
     collect: str = "draws",
+    warmup: str = "xla",
 ) -> FusedModelResult:
     """Whole-run fused HMC for an ARBITRARY model.
 
@@ -253,6 +255,14 @@ def fused_model_hmc(
     then None.  ``result.final_positions`` always carries the last state,
     so runs can be chained or checkpointed
     (``parallel.production.run_fused_blocks``).
+
+    ``warmup="fused"`` runs the adaptation INSIDE a Pallas kernel too
+    (``fused_warmup_run``: same Stan windows / dual averaging / Welford
+    mass, pooled per chain tile instead of across all chains): warmup +
+    sampling + packing then execute as ONE jit -- a single host dispatch,
+    which on a tunneled TPU cuts end-to-end warm latency from ~1.2 s to the
+    device compute time.  Requires ``trajectory="fixed"``; ``step_size`` and
+    ``inverse_mass`` in the result are then per-chain arrays.
 
     ``trajectory="chees"`` adapts the trajectory length during warmup with
     ChEES (Hoffman, Radul & Sountsov 2021) instead of using the fixed
@@ -281,6 +291,44 @@ def fused_model_hmc(
         from binf_tpu.parallel.mesh import shard_chains
 
         initial_positions = shard_chains(initial_positions, mesh)
+
+    if num_samples % thin:
+        raise ValueError(f"{num_samples=} must be divisible by {thin=}")
+    n_dev = mesh.shape["chain"] if mesh is not None else 1
+    if n_chains % n_dev:
+        raise ValueError(f"{n_chains=} must be divisible by mesh chain axis {n_dev}")
+    n_local = n_chains // n_dev
+    bc = min(block_chains, n_local)
+    while n_local % bc:
+        bc -= 1
+    spb = min(max(50, thin), num_samples)
+    while num_samples % spb or spb % thin:
+        spb -= 1
+
+    run_kwargs = dict(
+        num_steps=num_samples,
+        num_leapfrog=num_leapfrog,
+        block_chains=bc,
+        steps_per_block=spb,
+        interpret=interpret,
+        host_noise=host_noise,
+        thin=thin,
+        collect=collect,
+    )
+
+    if warmup == "fused":
+        return _fused_warmup_path(
+            potential, consts, spec, initial_positions, key,
+            num_warmup=num_warmup, num_leapfrog=num_leapfrog,
+            initial_step_size=(
+                0.1 if initial_step_size is None else initial_step_size
+            ),
+            block_chains=bc, mesh=mesh, interpret=interpret,
+            host_noise=host_noise, collect=collect, trajectory=trajectory,
+            run_kwargs=run_kwargs,
+        )
+    if warmup != "xla":
+        raise ValueError(f"unknown {warmup=}; use 'xla' or 'fused'")
 
     if trajectory == "chees":
         from binf_tpu.samplers.chees import chees_adaptation
@@ -352,29 +400,6 @@ def fused_model_hmc(
 
     q0, im_vec, eps, seed = prepare(adapt, k_run)
 
-    if num_samples % thin:
-        raise ValueError(f"{num_samples=} must be divisible by {thin=}")
-    n_dev = mesh.shape["chain"] if mesh is not None else 1
-    if n_chains % n_dev:
-        raise ValueError(f"{n_chains=} must be divisible by mesh chain axis {n_dev}")
-    n_local = n_chains // n_dev
-    bc = min(block_chains, n_local)
-    while n_local % bc:
-        bc -= 1
-    spb = min(max(50, thin), num_samples)
-    while num_samples % spb or spb % thin:
-        spb -= 1
-
-    run_kwargs = dict(
-        num_steps=num_samples,
-        num_leapfrog=num_leapfrog,
-        block_chains=bc,
-        steps_per_block=spb,
-        interpret=interpret,
-        host_noise=host_noise,
-        thin=thin,
-        collect=collect,
-    )
     if mesh is None:
         res = fused_potential_hmc_run(
             potential, q0, seed, eps, im_vec, consts, **run_kwargs
@@ -428,4 +453,130 @@ def fused_model_hmc(
         step_size=adapt.step_size,
         inverse_mass=im_vec,
         final_positions=final_positions,
+    )
+
+
+# -- fused (in-kernel) warmup path -------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "potential", "spec_t", "mesh", "collect", "initial_step_size",
+        "warm_statics", "run_statics",
+    ),
+)
+def _fused_full_run(
+    positions,
+    k,
+    consts,
+    *,
+    potential,
+    spec_t,
+    mesh,
+    collect,
+    initial_step_size,
+    warm_statics,
+    run_statics,
+) -> FusedModelResult:
+    """Pack -> fused warmup kernel -> fused sampling kernel -> unpack, all
+    under ONE jit: a single host dispatch for the complete adaptive run."""
+    warm_kwargs = dict(warm_statics)
+    run_kwargs = dict(run_statics)
+    spec = list(spec_t)
+    q0 = pack_positions(positions, spec)
+    kw, kr = jax.random.split(k)
+    seed_w = jax.random.randint(kw, (), 0, 2**31 - 1)
+    seed_r = jax.random.randint(kr, (), 0, 2**31 - 1)
+
+    if mesh is None:
+        qw, eps, im = fused_warmup_run(
+            potential, q0, seed_w, initial_step_size, consts, **warm_kwargs
+        )
+        res = fused_potential_hmc_run(
+            potential, qw, seed_r, eps, im, consts, **run_kwargs
+        )
+        collected = (
+            (res.mean, res.variance) if collect == "moments" else (res.draws,)
+        )
+        acc, qf = res.accept_rate, res.final_positions
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def device_run(sw, sr, q0_l, consts_l):
+            ax = jax.lax.axis_index("chain")
+            qw, eps_l, im_l = fused_warmup_run(
+                potential, q0_l, sw + ax, initial_step_size, consts_l,
+                **warm_kwargs,
+            )
+            r = fused_potential_hmc_run(
+                potential, qw, sr + ax, eps_l, im_l, consts_l, **run_kwargs
+            )
+            a = jax.lax.pmean(r.accept_rate, "chain")
+            coll = (
+                (r.mean, r.variance) if collect == "moments" else (r.draws,)
+            )
+            return coll, a, r.final_positions, eps_l, im_l
+
+        coll_spec = (
+            (P("chain", None), P("chain", None))
+            if collect == "moments"
+            else (P(None, "chain", None),)
+        )
+        collected, acc, qf, eps, im = shard_map(
+            device_run,
+            mesh=mesh,
+            in_specs=(P(), P(), P("chain", None), P()),
+            out_specs=(coll_spec, P(), P("chain", None), P("chain"),
+                       P("chain", None)),
+            check_vma=False,  # pallas_call does not annotate vma
+        )(seed_w, seed_r, q0, consts)
+
+    final_positions = unpack_draws(qf, spec)
+    if collect == "moments":
+        mean, variance = collected
+        return FusedModelResult(
+            samples=None,
+            accept_rate=acc,
+            step_size=eps,
+            inverse_mass=im,
+            mean=unpack_draws(mean, spec),
+            variance=unpack_draws(variance, spec),
+            final_positions=final_positions,
+        )
+    (draws,) = collected
+    return FusedModelResult(
+        samples=unpack_draws(draws, spec),
+        accept_rate=acc,
+        step_size=eps,
+        inverse_mass=im,
+        final_positions=final_positions,
+    )
+
+
+def _fused_warmup_path(
+    potential, consts, spec, initial_positions, key, *,
+    num_warmup, num_leapfrog, initial_step_size, block_chains, mesh,
+    interpret, host_noise, collect, trajectory, run_kwargs,
+) -> FusedModelResult:
+    if trajectory != "fixed":
+        raise ValueError("warmup='fused' requires trajectory='fixed' "
+                         "(use warmup='xla' for ChEES)")
+    warm_statics = (
+        ("num_warmup", num_warmup),
+        ("num_leapfrog", num_leapfrog),
+        ("block_chains", block_chains),
+        ("interpret", interpret),
+        ("host_noise", host_noise),
+    )
+    return _fused_full_run(
+        initial_positions, key, consts,
+        potential=potential,
+        spec_t=tuple(spec),
+        mesh=mesh,
+        collect=collect,
+        initial_step_size=float(initial_step_size),
+        warm_statics=warm_statics,
+        run_statics=tuple(sorted(run_kwargs.items())),
     )
