@@ -59,6 +59,7 @@ __all__ = [
 ]
 
 _TWO_PI = 2.0 * math.pi
+_SEARCH_TRIALS = 20  # doubling budget of the in-kernel step-size search
 
 
 # -- position packing ---------------------------------------------------------
@@ -348,20 +349,13 @@ def _pad_const(x: Array) -> Array:
 
 def _warmup_schedule(num_steps, initial_buffer=75, final_buffer=50, first_window=25):
     """Static Stan window schedule: (initial_buffer, final_buffer, reset
-    steps).  Identical partitioning to
-    ``samplers.adaptation._stan_window_schedule`` so the fused and XLA
-    warmups see the same windows."""
-    if num_steps < initial_buffer + final_buffer + first_window:
-        initial_buffer = max(1, int(0.15 * num_steps))
-        final_buffer = max(1, int(0.1 * num_steps))
-    boundaries = []
-    w = first_window
-    pos = initial_buffer
-    while pos + w < num_steps - final_buffer:
-        pos += w
-        boundaries.append(pos)
-        w *= 2
-    return initial_buffer, final_buffer, tuple(boundaries[:-1])
+    steps).  Shares ``samplers.adaptation._stan_boundaries`` so the fused
+    and XLA warmups see the exact same windows; the last boundary lands at
+    ``num_steps - final_buffer`` so the final buffer re-adapts the step size
+    under the final metric."""
+    from binf_tpu.samplers.adaptation import _stan_boundaries
+
+    return _stan_boundaries(num_steps, initial_buffer, final_buffer, first_window)
 
 
 def _warmup_kernel(
@@ -374,6 +368,7 @@ def _warmup_kernel(
     host_noise: bool,
     schedule,
     target_accept: float,
+    init_search: bool,
 ):
     (seed_ref, eps0_ref, q0_ref), rest = refs[:3], refs[3:]
     n_consts = len(const_names)
@@ -383,6 +378,9 @@ def _warmup_kernel(
     i = pl.program_id(0)
     if not host_noise:
         pltpu.prng_seed(seed_ref[0, 0], i)
+    # with host_noise the stream's first _SEARCH_TRIALS+1 entries feed the
+    # init search (if enabled); warmup steps start after them
+    noise_off = (_SEARCH_TRIALS + 1) if (host_noise and init_search) else 0
 
     consts = {name: ref[:] for name, ref in zip(const_names, const_refs)}
     dp, bc = q_scr.shape
@@ -402,6 +400,47 @@ def _warmup_kernel(
     col = jnp.zeros((dp, 1), jnp.float32)
     log_eps0 = zero + jnp.log(eps0_ref[0, 0])
 
+    if init_search:
+        # Hoffman & Gelman 2011 Algorithm 4 INSIDE the kernel (the fused
+        # analogue of samplers.adaptation.find_reasonable_step_size):
+        # double/halve eps until the tile-pooled acceptance probability of a
+        # full trajectory crosses 0.5, fixed trial budget, positions never
+        # advance.  Identity metric, like the XLA search.
+        q_start = q_scr[:]
+
+        def pooled_alpha(log_eps, trial):
+            if host_noise:
+                z = mom_ref[trial]
+                u = unif_ref[trial]
+            else:
+                z = _normal(q_start.shape)
+                u = _uniform((1, bc))
+            _, _, dE = _hmc_transition(
+                q_start, z, u, jnp.exp(log_eps), active, active,
+                value_and_grad, num_leapfrog,
+            )
+            a = jnp.minimum(1.0, jnp.exp(jnp.minimum(dE, 0.0)))
+            a = jnp.where(jnp.isnan(dE), 0.0, a)
+            return jnp.mean(a).reshape(1, 1)
+
+        p_init = pooled_alpha(log_eps0, 0)
+        direction = jnp.where(p_init > 0.5, 1.0, -1.0)
+
+        def search_step(t, c):
+            log_eps, p, done = c
+            crossed = jnp.where(direction > 0.0, p <= 0.5, p >= 0.5)
+            done = jnp.logical_or(done, crossed)
+            cand = log_eps + direction * jnp.log(2.0)
+            p_cand = pooled_alpha(cand, t + 1)
+            log_eps = jnp.where(done, log_eps, cand)
+            p = jnp.where(done, p, p_cand)
+            return log_eps, p, done
+
+        log_eps0, _, _ = jax.lax.fori_loop(
+            0, _SEARCH_TRIALS, search_step,
+            (log_eps0, p_init, jnp.zeros((1, 1), jnp.bool_)),
+        )
+
     def regularized_variance(n, m2):
         # Stan mass-matrix shrinkage, = ops.math.welford_variance(regularize=True)
         v = m2 / jnp.maximum(n - 1.0, 1.0)
@@ -413,8 +452,8 @@ def _warmup_kernel(
          wf_n, wf_mean, wf_m2, im) = carry
         q = q_scr[:]
         if host_noise:
-            z = mom_ref[t]
-            u = unif_ref[t]
+            z = mom_ref[noise_off + t]
+            u = unif_ref[noise_off + t]
         else:
             z = _normal(q.shape)
             u = _uniform((1, q.shape[1]))
@@ -482,9 +521,9 @@ def _warmup_kernel(
     (log_step, log_step_avg, _, _, _, wf_n, _, wf_m2, im) = jax.lax.fori_loop(
         0, num_warmup, step, carry0
     )
-    # final harvest: fold the last (unreset) slow window into the metric
-    v = regularized_variance(wf_n, wf_m2) * active
-    im = jnp.where(wf_n > 2.0, v, im)
+    # the last boundary is pinned at num_warmup - fb (_warmup_schedule), so
+    # the metric was harvested in-loop and the final buffer re-adapted the
+    # step size under it -- no after-loop harvest
 
     qf_ref[:] = q_scr[:]
     eps_out_ref[:] = jnp.broadcast_to(jnp.exp(log_step_avg), (1, bc))
@@ -495,7 +534,7 @@ def _warmup_kernel(
     jax.jit,
     static_argnames=(
         "potential", "num_warmup", "num_leapfrog", "block_chains",
-        "interpret", "host_noise", "target_accept",
+        "interpret", "host_noise", "target_accept", "init_search",
     ),
 )
 def fused_warmup_run(
@@ -511,6 +550,7 @@ def fused_warmup_run(
     interpret: bool = False,
     host_noise: bool = False,
     target_accept: float = 0.8,
+    init_search: bool = False,
 ):
     """Stan-style warmup executed INSIDE one Pallas kernel.
 
@@ -528,7 +568,26 @@ def fused_warmup_run(
     then two ``pallas_call``s inside one jit, i.e. ONE host dispatch
     (replaces the reference's in-loop naive adaptation,
     ``binf/samplers/hmc.py:183-191``).
+
+    ``init_search=True`` seeds dual averaging with an in-kernel
+    Hoffman-Gelman Algorithm-4 doubling search from ``initial_step_size``
+    (the fused analogue of ``find_reasonable_step_size``).
+
+    ``host_noise=True`` stages the entire warmup noise stream
+    ``(num_warmup, D_pad, C)`` as a VMEM-resident operand -- fine under
+    ``interpret`` (CPU tests, bitwise comparison against host-noise
+    references) but it exhausts VMEM on real TPUs for moderate
+    ``D * num_warmup``, so it is rejected when compiling for hardware; the
+    device-PRNG path streams noise in-kernel and is the TPU path.
     """
+    if host_noise and not interpret:
+        raise ValueError(
+            "fused_warmup_run(host_noise=True) requires interpret=True: the "
+            "warmup noise stream must be VMEM-resident for the whole run "
+            "(num_warmup * D_pad * block_chains * 4 bytes), which exhausts "
+            "VMEM on hardware.  Use the device-PRNG path (host_noise=False) "
+            "on TPU."
+        )
     C, D = q0.shape
     assert C % block_chains == 0
     d_pad = ((D + 7) // 8) * 8
@@ -541,11 +600,13 @@ def fused_warmup_run(
     const_arrays = [_pad_const(consts[k]) for k in const_names]
 
     if host_noise:
+        # first _SEARCH_TRIALS+1 entries feed the init search (if enabled)
+        n_noise = num_warmup + ((_SEARCH_TRIALS + 1) if init_search else 0)
         kn = jax.random.key(jnp.asarray(seed, jnp.uint32))
         k1, k2 = jax.random.split(kn)
-        mom = jax.random.normal(k1, (num_warmup, d_pad, C), jnp.float32)
-        unif = jax.random.uniform(k2, (num_warmup, 1, C), jnp.float32)
-        noise_steps = num_warmup
+        mom = jax.random.normal(k1, (n_noise, d_pad, C), jnp.float32)
+        unif = jax.random.uniform(k2, (n_noise, 1, C), jnp.float32)
+        noise_steps = n_noise
     else:
         mom = jnp.zeros((1, d_pad, C), jnp.float32)
         unif = jnp.zeros((1, 1, C), jnp.float32)
@@ -570,6 +631,7 @@ def fused_warmup_run(
         host_noise=host_noise,
         schedule=_warmup_schedule(num_warmup),
         target_accept=target_accept,
+        init_search=init_search,
     )
 
     qf, eps, im = pl.pallas_call(

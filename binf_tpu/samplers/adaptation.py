@@ -167,24 +167,42 @@ class WindowAdaptationResult(NamedTuple):
     da_state: DualAveragingState
 
 
-def _stan_window_schedule(num_steps: int, initial_buffer=75, final_buffer=50, first_window=25):
-    """Boolean mask per step: is this step inside a slow (mass) window."""
+def _stan_boundaries(num_steps: int, initial_buffer=75, final_buffer=50, first_window=25):
+    """Stan warmup partition: ``(initial_buffer, final_buffer, boundaries)``.
+
+    ``boundaries`` are the steps where the mass estimate is harvested into
+    the metric, the Welford accumulator is reset, and dual averaging is
+    restarted at the current step size.  Expanding windows (25, 50, 100, ...)
+    with the LAST window extended so its boundary lands exactly at
+    ``num_steps - final_buffer`` -- the final buffer then re-adapts the step
+    size under the final metric (Stan semantics; without this the returned
+    step size would be dual-averaged under a stale metric)."""
     if num_steps < initial_buffer + final_buffer + first_window:
         initial_buffer = max(1, int(0.15 * num_steps))
         final_buffer = max(1, int(0.1 * num_steps))
+    slow_end = num_steps - final_buffer
+    boundaries = []
+    pos, w = initial_buffer, first_window
+    while pos < slow_end:
+        end = pos + w
+        if end + 2 * w > slow_end:  # too little room for the next window
+            end = slow_end
+        boundaries.append(min(end, slow_end))
+        pos, w = end, w * 2
+    return initial_buffer, final_buffer, tuple(boundaries)
+
+
+def _stan_window_schedule(num_steps: int, initial_buffer=75, final_buffer=50, first_window=25):
+    """Boolean masks per step: (inside a slow/mass window, window boundary)."""
+    initial_buffer, final_buffer, boundaries = _stan_boundaries(
+        num_steps, initial_buffer, final_buffer, first_window
+    )
     slow = jnp.zeros(num_steps, dtype=bool)
     slow = slow.at[initial_buffer : num_steps - final_buffer].set(True)
-    # window boundaries (where the mass estimate is harvested + reset)
-    boundaries = []
-    w = first_window
-    pos = initial_buffer
-    while pos + w < num_steps - final_buffer:
-        pos += w
-        boundaries.append(pos)
-        w *= 2
     reset = jnp.zeros(num_steps, dtype=bool)
-    for b in boundaries[:-1] if boundaries else []:
-        reset = reset.at[b].set(True)
+    for b in boundaries:
+        if b < num_steps:
+            reset = reset.at[b].set(True)
     return slow, reset
 
 
@@ -273,7 +291,7 @@ def window_adaptation(
             lambda h, old: jnp.where(is_reset, h, old), harvested, inverse_mass
         )
         fresh = welford_init(position_template)
-        wf = jax.tree.map(lambda f, old: jnp.where(is_reset, f, old), wf, fresh)
+        wf = jax.tree.map(lambda f, old: jnp.where(is_reset, f, old), fresh, wf)
         # restart dual averaging at each boundary with the current step size
         da = jax.tree.map(
             lambda fresh_da, cur: jnp.where(is_reset, fresh_da, cur),
@@ -293,10 +311,8 @@ def window_adaptation(
     (states, da, wf, inverse_mass), _ = jax.lax.scan(
         body, (initial_states, da0, wf0, im0), (keys, slow_mask, reset_mask)
     )
-    # final harvest: if the last slow window had data, fold it in
-    final_var = welford_variance(wf)
-    inverse_mass = jax.tree.map(
-        lambda v, old: jnp.where(wf.count > 2.0, v, old), final_var, inverse_mass
-    )
+    # The last window boundary sits exactly at num_steps - final_buffer
+    # (_stan_boundaries), so the metric was harvested in-scan and the final
+    # buffer re-adapted the step size under it -- no after-loop harvest.
     step_size = dual_averaging_step_size(da, final=True)
     return WindowAdaptationResult(step_size, inverse_mass, states, da)

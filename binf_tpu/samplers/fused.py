@@ -206,8 +206,10 @@ def _cached_tile_potential(logdensity_fn, template):
 class FusedModelResult(NamedTuple):
     samples: dict[str, Array] | None  # unconstrained, (num_samples, C, ...)
     accept_rate: Array
-    step_size: Array
-    inverse_mass: Array  # flat (D,), pack order = sorted variable names
+    step_size: Array  # scalar (warmup="xla") or per-chain (C,) (warmup="fused")
+    # flat (D,) shared (warmup="xla") or per-chain (C, D) (warmup="fused");
+    # pack order = sorted variable names
+    inverse_mass: Array
     mean: dict[str, Array] | None = None  # Welford moments (collect="moments")
     variance: dict[str, Array] | None = None
     final_positions: dict[str, Array] | None = None  # (C, ...) per leaf
@@ -317,12 +319,21 @@ def fused_model_hmc(
     )
 
     if warmup == "fused":
+        if per_chain_step_size:
+            raise ValueError(
+                "per_chain_step_size is not supported with warmup='fused' "
+                "(the fused warmup pools dual averaging per chain tile); "
+                "use warmup='xla'"
+            )
         return _fused_warmup_path(
             potential, consts, spec, initial_positions, key,
             num_warmup=num_warmup, num_leapfrog=num_leapfrog,
+            # None -> in-kernel Hoffman-Gelman doubling search from 1.0
+            # (the fused analogue of find_reasonable_step_size)
             initial_step_size=(
-                0.1 if initial_step_size is None else initial_step_size
+                1.0 if initial_step_size is None else initial_step_size
             ),
+            init_search=initial_step_size is None,
             block_chains=bc, mesh=mesh, interpret=interpret,
             host_noise=host_noise, collect=collect, trajectory=trajectory,
             run_kwargs=run_kwargs,
@@ -559,6 +570,7 @@ def _fused_warmup_path(
     potential, consts, spec, initial_positions, key, *,
     num_warmup, num_leapfrog, initial_step_size, block_chains, mesh,
     interpret, host_noise, collect, trajectory, run_kwargs,
+    init_search=False,
 ) -> FusedModelResult:
     if trajectory != "fixed":
         raise ValueError("warmup='fused' requires trajectory='fixed' "
@@ -569,6 +581,7 @@ def _fused_warmup_path(
         ("block_chains", block_chains),
         ("interpret", interpret),
         ("host_noise", host_noise),
+        ("init_search", init_search),
     )
     return _fused_full_run(
         initial_positions, key, consts,
