@@ -214,16 +214,27 @@ def run_fused_blocks(
     logger: MetricsLogger | None = None,
     host_noise: bool | None = None,
     interpret: bool | None = None,
+    mesh=None,
+    warmup: str = "xla",
 ) -> FusedBlocksResult:
     """Drive the fused whole-run HMC kernel in checkpointable blocks.
 
     The operational complement of :func:`run_blocks` for the fused path
-    (round-1 VERDICT item 3): warmup adaptation runs ONCE on the XLA path;
-    each block is then a single ``pallas_call`` that returns its final
-    positions and in-kernel Welford moments, the driver merges moments
-    across blocks (Chan combine), optionally checkpoints the carry with
-    Orbax, and a preempted run resumes BITWISE from the last checkpoint --
-    per-block PRNG streams are keyed by ``(key, block index)`` only.
+    (round-1 VERDICT item 3): warmup adaptation runs ONCE (on the XLA path,
+    or in-kernel with ``warmup="fused"``); each block is then a single
+    ``pallas_call`` that returns its final positions and in-kernel Welford
+    moments, the driver merges moments across blocks (Chan combine),
+    optionally checkpoints the carry with Orbax, and a preempted run
+    resumes BITWISE from the last checkpoint -- per-block PRNG streams are
+    keyed by ``(key, block index)`` only.
+
+    With ``mesh`` (a Mesh with a ``chain`` axis), chains are sharded over
+    the devices exactly as in ``samplers.fused.fused_model_hmc``: each
+    block runs ONE fused kernel PER DEVICE over its chain shard
+    (``shard_map``, per-device PRNG streams ``seed + axis_index``), the
+    carry's chain-axis leaves stay sharded, and Orbax checkpoints/restores
+    them with their shardings -- the sharded operational driver for long
+    production runs (round-2 VERDICT item 5).
 
     ``collect_draws=True`` switches the kernel to draws mode (HBM cost
     ``block_size/thin * D * C * 4`` bytes per block) and derives moments
@@ -231,6 +242,7 @@ def run_fused_blocks(
     """
     from binf_tpu.ops.pallas.fused_potential import (
         fused_potential_hmc_run,
+        fused_warmup_run,
         pack_positions,
         unpack_draws,
     )
@@ -253,53 +265,28 @@ def run_fused_blocks(
 
     k_warm, k_run = jax.random.split(key)
 
-    def builder(step_size, inverse_mass):
-        return hmc(logdensity_fn, step_size, num_leapfrog, inverse_mass)
-
-    @jax.jit
-    def warm(positions, k):
-        states = jax.vmap(
-            builder(
-                1.0 if initial_step_size is None else initial_step_size, None
-            ).init
-        )(positions)
-        adapt = window_adaptation(
-            builder, states, k, num_steps=num_warmup,
-            initial_step_size=initial_step_size,
-        )
-        q0 = pack_positions(adapt.final_states.position, spec)
-        im = pack_positions(
-            jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + jnp.shape(x)),
-                         adapt.inverse_mass),
-            spec,
-        )[0]
-        eps = jnp.broadcast_to(
-            jnp.asarray(adapt.step_size, jnp.float32).reshape(-1), (C,)
-        )
-        return q0, im, eps
-
-    q0, im, eps = warm(initial_positions, k_warm)
-    carry = FusedBlocksCarry(
-        positions=q0,
-        mean=jnp.zeros((C, D), jnp.float32),
-        m2=jnp.zeros((C, D), jnp.float32),
-        count=jnp.zeros((), jnp.float32),
-        block=jnp.zeros((), jnp.int32),
-        step_size=eps,
-        inverse_mass=im,
-    )
-    if resume and checkpoint_path is not None:
-        try:
-            carry = load_checkpoint(checkpoint_path, carry)
-        except Exception:
-            pass  # fresh start
-
-    bc = min(block_chains, C)
-    while C % bc:
+    n_dev = mesh.shape["chain"] if mesh is not None else 1
+    if C % n_dev:
+        raise ValueError(f"{C=} must be divisible by mesh chain axis {n_dev}")
+    n_local = C // n_dev
+    bc = min(block_chains, n_local)
+    while n_local % bc:
         bc -= 1
+    if mesh is not None:
+        from binf_tpu.parallel.mesh import shard_chains
+
+        initial_positions = shard_chains(initial_positions, mesh)
+
     spb = min(max(50, thin), block_size)
     while block_size % spb or spb % thin:
         spb -= 1
+    warm_kwargs = dict(
+        num_warmup=num_warmup,
+        num_leapfrog=num_leapfrog,
+        block_chains=bc,
+        interpret=interpret,
+        host_noise=host_noise,
+    )
     run_kwargs = dict(
         num_steps=block_size,
         num_leapfrog=num_leapfrog,
@@ -309,11 +296,159 @@ def run_fused_blocks(
         host_noise=host_noise,
     )
 
+    if warmup == "fused":
+        eps0 = 1.0 if initial_step_size is None else float(initial_step_size)
+        search = initial_step_size is None
+
+        @jax.jit
+        def warm(positions, k):
+            q0 = pack_positions(positions, spec)
+            seed_w = jax.random.randint(k, (), 0, 2**31 - 1)
+            if mesh is None:
+                return fused_warmup_run(
+                    potential, q0, seed_w, eps0, consts,
+                    init_search=search, **warm_kwargs,
+                )
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def dev_warm(sw, q0_l, consts_l):
+                ax = jax.lax.axis_index("chain")
+                return fused_warmup_run(
+                    potential, q0_l, sw + ax, eps0, consts_l,
+                    init_search=search, **warm_kwargs,
+                )
+
+            return shard_map(
+                dev_warm, mesh=mesh,
+                in_specs=(P(), P("chain", None), P()),
+                out_specs=(P("chain", None), P("chain"), P("chain", None)),
+                check_vma=False,
+            )(seed_w, q0, consts)
+
+        q0, eps, im = warm(initial_positions, k_warm)  # im: (C, D) per-chain
+    elif warmup != "xla":
+        raise ValueError(f"unknown {warmup=}; use 'xla' or 'fused'")
+    else:
+        def builder(step_size, inverse_mass):
+            return hmc(logdensity_fn, step_size, num_leapfrog, inverse_mass)
+
+        @jax.jit
+        def warm(positions, k):
+            states = jax.vmap(
+                builder(
+                    1.0 if initial_step_size is None else initial_step_size,
+                    None,
+                ).init
+            )(positions)
+            adapt = window_adaptation(
+                builder, states, k, num_steps=num_warmup,
+                initial_step_size=initial_step_size,
+            )
+            q0 = pack_positions(adapt.final_states.position, spec)
+            im = pack_positions(
+                jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (1,) + jnp.shape(x)),
+                    adapt.inverse_mass,
+                ),
+                spec,
+            )[0]
+            eps = jnp.broadcast_to(
+                jnp.asarray(adapt.step_size, jnp.float32).reshape(-1), (C,)
+            )
+            return q0, eps, im
+
+        q0, eps, im = warm(initial_positions, k_warm)  # im: (D,) shared
+
+    carry = FusedBlocksCarry(
+        positions=q0,
+        mean=jnp.zeros((C, D), jnp.float32),
+        m2=jnp.zeros((C, D), jnp.float32),
+        count=jnp.zeros((), jnp.float32),
+        block=jnp.zeros((), jnp.int32),
+        step_size=eps,
+        inverse_mass=im,
+    )
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        chain_sh = NamedSharding(mesh, P("chain"))
+        chain2_sh = NamedSharding(mesh, P("chain", None))
+        rep_sh = NamedSharding(mesh, P())
+        carry = FusedBlocksCarry(
+            positions=jax.device_put(carry.positions, chain2_sh),
+            mean=jax.device_put(carry.mean, chain2_sh),
+            m2=jax.device_put(carry.m2, chain2_sh),
+            count=jax.device_put(carry.count, rep_sh),
+            block=jax.device_put(carry.block, rep_sh),
+            step_size=jax.device_put(carry.step_size, chain_sh),
+            inverse_mass=jax.device_put(
+                carry.inverse_mass,
+                chain2_sh if carry.inverse_mass.ndim == 2 else rep_sh,
+            ),
+        )
+    if resume and checkpoint_path is not None:
+        try:
+            carry = load_checkpoint(checkpoint_path, carry)
+        except Exception:
+            pass  # fresh start
+
     @jax.jit
     def draws_moments(draws):
         mean = jnp.mean(draws, axis=0)
         m2 = jnp.sum((draws - mean[None]) ** 2, axis=0)
         return mean, m2
+
+    if mesh is None:
+        def run_block(q, seed, eps, im_c, collect_mode):
+            return fused_potential_hmc_run(
+                potential, q, seed, eps, im_c, consts, thin=thin,
+                collect=collect_mode, **run_kwargs,
+            )
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        im_spec = P("chain", None) if carry.inverse_mass.ndim == 2 else P()
+        _sharded_cache = {}
+
+        def _make_sharded(collect_mode):
+            def dev_block(seed, q_l, eps_l, im_l, consts_l):
+                seed_l = seed + jax.lax.axis_index("chain")
+                r = fused_potential_hmc_run(
+                    potential, q_l, seed_l, eps_l, im_l, consts_l,
+                    thin=thin, collect=collect_mode, **run_kwargs,
+                )
+                a = jax.lax.pmean(r.accept_rate, "chain")
+                if collect_mode == "moments":
+                    return (r.mean, r.variance), a, r.final_positions
+                return (r.draws,), a, r.final_positions
+
+            coll_spec = (
+                (P("chain", None), P("chain", None))
+                if collect_mode == "moments"
+                else (P(None, "chain", None),)
+            )
+            return jax.jit(shard_map(
+                dev_block, mesh=mesh,
+                in_specs=(P(), P("chain", None), P("chain"), im_spec, P()),
+                out_specs=(coll_spec, P(), P("chain", None)),
+                check_vma=False,  # pallas_call does not annotate vma
+            ))
+
+        def run_block(q, seed, eps, im_c, collect_mode):
+            fn = _sharded_cache.get(collect_mode)
+            if fn is None:
+                fn = _sharded_cache[collect_mode] = _make_sharded(collect_mode)
+            collected, a, qf = fn(seed, q, eps, im_c, consts)
+            from binf_tpu.ops.pallas.fused_potential import FusedRunResult
+
+            if collect_mode == "moments":
+                mean, variance = collected
+                return FusedRunResult(None, mean, variance, a, qf)
+            (draws,) = collected
+            return FusedRunResult(draws, None, None, a, qf)
 
     all_draws = []
     acc_sum = 0.0
@@ -325,18 +460,17 @@ def run_fused_blocks(
             jax.random.fold_in(k_run, b), (), 0, 2**31 - 1
         )
         if collect_draws:
-            res = fused_potential_hmc_run(
-                potential, carry.positions, seed_b, carry.step_size,
-                carry.inverse_mass, consts, thin=thin, collect="draws",
-                **run_kwargs,
+            res = run_block(
+                carry.positions, seed_b, carry.step_size,
+                carry.inverse_mass, "draws",
             )
             all_draws.append(res.draws)
             mean_b, m2_b = draws_moments(res.draws)
             n_b = jnp.float32(res.draws.shape[0])
         else:
-            res = fused_potential_hmc_run(
-                potential, carry.positions, seed_b, carry.step_size,
-                carry.inverse_mass, consts, collect="moments", **run_kwargs,
+            res = run_block(
+                carry.positions, seed_b, carry.step_size,
+                carry.inverse_mass, "moments",
             )
             mean_b = res.mean
             m2_b = res.variance * jnp.float32(block_size - 1)

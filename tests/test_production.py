@@ -134,3 +134,56 @@ def test_fused_blocks_checkpoint_resume_bitwise(tmp_path, key):
         np.asarray(res_full.carry.mean), np.asarray(res_resumed.carry.mean)
     )
     assert int(res_resumed.carry.block) == 4
+
+
+def test_fused_blocks_sharded_mesh(tmp_path, key):
+    """run_fused_blocks(mesh=...): one fused kernel per device per block over
+    the sharded chain axis, sharded Orbax checkpoint, bitwise resume
+    (round-2 VERDICT item 5)."""
+    from binf_tpu.parallel.mesh import make_chain_mesh
+    from binf_tpu.parallel.production import run_fused_blocks
+
+    mesh = make_chain_mesh()
+    path = str(tmp_path / "fused_mesh_ckpt")
+    kwargs = dict(
+        num_steps=400, block_size=100, num_warmup=100,
+        block_chains=4, num_leapfrog=5, mesh=mesh,
+    )
+    res_full = run_fused_blocks(
+        logp, _fused_positions(32), key,
+        checkpoint_path=path, checkpoint_every_blocks=2, **kwargs,
+    )
+    res_resumed = run_fused_blocks(
+        logp, _fused_positions(32), key,
+        checkpoint_path=path, resume=True, **kwargs,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_full.carry.positions),
+        np.asarray(res_resumed.carry.positions),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_full.carry.mean), np.asarray(res_resumed.carry.mean)
+    )
+    assert int(res_resumed.carry.block) == 4
+    # moments approximate the target N(2,1) x N(-1,1)^2
+    assert abs(float(res_full.mean["x"].mean()) - 2.0) < 0.3
+    assert abs(float(res_full.mean["y"].mean()) + 1.0) < 0.3
+    # the carry stays sharded over the chain axis
+    sh = res_full.carry.positions.sharding
+    assert getattr(sh, "spec", None) is not None
+
+
+def test_fused_blocks_fused_warmup(key):
+    """run_fused_blocks(warmup='fused'): in-kernel adaptation feeds the
+    block driver; per-chain step size/metric carried through blocks."""
+    from binf_tpu.parallel.production import run_fused_blocks
+
+    res = run_fused_blocks(
+        logp, _fused_positions(32), key,
+        num_steps=300, block_size=100, num_warmup=150,
+        block_chains=32, num_leapfrog=5, warmup="fused",
+    )
+    assert res.carry.step_size.shape == (32,)
+    assert res.carry.inverse_mass.shape == (32, 3)
+    assert abs(float(res.mean["x"].mean()) - 2.0) < 0.3
+    assert 0.5 < res.accept_rate <= 1.0
