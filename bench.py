@@ -40,7 +40,13 @@ import numpy as np
 
 N_CHAINS = int(os.environ.get("BENCH_CHAINS", 16384))
 N_WARMUP = int(os.environ.get("BENCH_WARMUP", 500))
-N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1000))
+N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 4000))
+# optional: chain CHAIN_BLOCKS sampling kernels (state-in/state-out) inside
+# one jit instead of one long kernel.  Measured on the remote-compile
+# service both shapes cost the same cold compile (~9 min for 4000 total
+# steps at 16k chains -- the cost tracks total kernel-instance steps), so
+# the default is ONE kernel; the knob remains for hosts with local compile.
+CHAIN_BLOCKS = int(os.environ.get("BENCH_CHAIN_BLOCKS", 1))
 REPS = int(os.environ.get("BENCH_REPS", 4))
 BASELINE_SWEEPS = int(os.environ.get("BENCH_BASELINE_SWEEPS", 4000))
 BASELINE_REPS = int(os.environ.get("BENCH_BASELINE_REPS", 3))
@@ -176,7 +182,8 @@ def main():
 
     @jax.jit
     def full_run(q0, seed):
-        """One complete adaptive run (warmup + sampling), ONE dispatch."""
+        """One complete adaptive run (warmup + chained sampling), ONE
+        dispatch."""
         qw, eps_c, im_c = fused_warmup_run(
             potential, q0, seed, 0.1, consts, num_warmup=N_WARMUP, **kern_kwargs
         )
@@ -184,14 +191,22 @@ def main():
         # (the estimates are per 512-chain tile; pooling only sharpens them)
         eps = jnp.mean(eps_c)
         im = jnp.mean(im_c, axis=0)
-        draws, acc = fused_linreg_hmc_run(
-            qw, seed + 1, V, ys, prior_var, 1.0, 0.2, eps,
-            inverse_mass=im,
-            num_steps=N_SAMPLES,
-            steps_per_block=min(50, N_SAMPLES),
-            **kern_kwargs,
-        )
-        return draws, acc, eps
+        q = qw
+        blocks = []
+        acc = 0.0
+        for b in range(CHAIN_BLOCKS):
+            draws, a = fused_linreg_hmc_run(
+                q, seed + 1 + b, V, ys, prior_var, 1.0, 0.2, eps,
+                inverse_mass=im,
+                num_steps=N_SAMPLES,
+                steps_per_block=min(50, N_SAMPLES),
+                **kern_kwargs,
+            )
+            q = draws[-1]  # state-out -> state-in chaining
+            blocks.append(draws)
+            acc = acc + a
+        draws = jnp.concatenate(blocks, axis=0) if CHAIN_BLOCKS > 1 else blocks[0]
+        return draws, acc / CHAIN_BLOCKS, eps
 
     t0 = time.perf_counter()
     draws, acc, eps = full_run(q_init, 0)

@@ -10,7 +10,8 @@ checkpointing -- driven by the typed config system (`io/config.py`).
 
 Registered models: ``polynomial`` (reference workload), ``hierarchical``
 (Gaussian+Poisson channels), ``logistic`` (Bernoulli GLM), ``chromatin``
-(distance restraints).
+(distance restraints), ``statespace`` (AR(1) trajectory via lax.scan),
+``mixture`` (Gaussian mixture via in-model logsumexp).
 """
 
 from __future__ import annotations
@@ -88,8 +89,31 @@ def build_model(name: str, key):
 
         return post, init_fn, {"precision": LogTransform}
 
+    if name == "statespace":
+        from binf_tpu.example.statespace import (
+            initial_positions,
+            make_ar1_posterior,
+            synthetic_ar1_data,
+        )
+
+        y = synthetic_ar1_data(key)
+        post = make_ar1_posterior(y)
+        return post, initial_positions, {"precision": LogTransform}
+
+    if name == "mixture":
+        from binf_tpu.example.mixture import (
+            initial_positions,
+            make_mixture_posterior,
+            synthetic_mixture_data,
+        )
+
+        y = synthetic_mixture_data(key)
+        post = make_mixture_posterior(y)
+        return post, initial_positions, {}
+
     raise SystemExit(
-        f"unknown model {name!r}; choose polynomial|hierarchical|logistic|chromatin"
+        f"unknown model {name!r}; choose polynomial|hierarchical|logistic|"
+        "chromatin|statespace|mixture"
     )
 
 
@@ -117,6 +141,13 @@ def main(argv=None):
     ap.add_argument("--trajectory", default="fixed", choices=["fixed", "chees"],
                     help="fused algorithm: trajectory-length source "
                          "(chees = ChEES-adapted, frozen to a static count)")
+    ap.add_argument("--warmup-mode", default="xla", choices=["xla", "fused"],
+                    help="fused algorithm: run adaptation on the XLA path or "
+                         "INSIDE a Pallas kernel (warmup+sampling = one "
+                         "dispatch; per-chain step size/metric)")
+    ap.add_argument("--collect", default="draws", choices=["draws", "moments"],
+                    help="fused algorithm: collect draws, or stream Welford "
+                         "moments in-kernel (O(D) HBM for long runs)")
     ap.add_argument("--persistent-cache", action="store_true")
     args = ap.parse_args(argv)
 
@@ -253,12 +284,35 @@ def main(argv=None):
             thin=args.thin,
             mesh=mesh,
             trajectory=args.trajectory,
+            warmup=args.warmup_mode,
+            collect=args.collect,
         )
-        jax.block_until_ready(result.samples)
-        elapsed = time.perf_counter() - t0
-        samples = _constrain_batch(transforms, result.samples)
-        out = _summarize(args, samples, elapsed,
-                         burn=(args.samples // args.thin) // 4)
+        elapsed = None
+        if args.collect == "moments":
+            jax.block_until_ready(result.mean)
+            elapsed = time.perf_counter() - t0
+            # in-kernel streaming moments: no draws to summarize; moments
+            # are in UNCONSTRAINED space (apply transforms downstream)
+            out = {
+                "model": args.model, "algorithm": "fused",
+                "chains": args.chains, "draws": args.samples * args.chains,
+                "space": "unconstrained",
+                "elapsed_sec": round(elapsed, 3),
+                "posterior_means": {
+                    k: jnp.mean(v, axis=0).tolist()
+                    for k, v in result.mean.items()
+                },
+                "posterior_variances": {
+                    k: jnp.mean(v, axis=0).tolist()
+                    for k, v in result.variance.items()
+                },
+            }
+        else:
+            jax.block_until_ready(result.samples)
+            elapsed = time.perf_counter() - t0
+            samples = _constrain_batch(transforms, result.samples)
+            out = _summarize(args, samples, elapsed,
+                             burn=(args.samples // args.thin) // 4)
         out["accept_rate"] = round(float(result.accept_rate), 4)
 
     else:  # gradient samplers via adaptive warmup

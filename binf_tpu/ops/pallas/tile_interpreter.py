@@ -620,21 +620,23 @@ def _scatter_rule(is_add):
 
     Same whole-element pattern as the gather rule.  ``scatter-add`` with
     unbatched indices is the segment-sum of grouped/hierarchical models and
-    rides the MXU as ``(n, B) @ (B, BC)``.  ``scatter`` (set) assumes unique
-    indices (XLA's own semantics for duplicates are undefined).
+    rides the MXU as ``(n, B) @ (B, BC)``; PER-CHAIN (traced) indices --
+    e.g. sampled cluster assignments in a random-effects model -- build a
+    lane-resident one-hot ``(B, n, BC)`` reduced on the VPU, mirroring the
+    gather tile branch.  ``scatter`` (set) assumes unique indices (XLA's
+    own semantics for duplicates are undefined).
     """
 
     def rule(prim, invals, params, out_avals, bc):
         operand, indices, updates = invals
-        if _is_tile(indices):
-            raise UnsupportedPrimitiveError(
-                "scatter with per-chain indices is not lane-batchable"
-            )
+        idx_tile = _is_tile(indices)
         s = operand.logical_shape if _is_tile(operand) else tuple(operand.shape)
         sim, rest = _gather_pattern(params, s)
         dn = params["dimension_numbers"]
+        idx_shape = indices.logical_shape if idx_tile else tuple(indices.shape)
+        idx_ndim = len(idx_shape)
         if tuple(dn.update_window_dims) != tuple(
-            range(indices.ndim - 1, indices.ndim - 1 + len(rest))
+            range(idx_ndim - 1, idx_ndim - 1 + len(rest))
         ):
             raise UnsupportedPrimitiveError("scatter update_window_dims not trailing")
 
@@ -656,27 +658,45 @@ def _scatter_rule(is_add):
         a = a.reshape((n,) + rest_sizes + (bc,))
         upd = upd.reshape((-1,) + rest_sizes + (bc,))  # (B, *rest, BC)
 
-        idx = indices.reshape(-1, indices.shape[-1])
-        flat_idx = _flat_index(idx, s, sim, tile=False)
-        b_rows = int(flat_idx.shape[0])
-        iota = lax.broadcasted_iota(jnp.int32, (b_rows, n), 1)
-        onehot = (flat_idx[:, None] == iota).astype(jnp.float32)  # (B, n)
+        if idx_tile:
+            # per-chain indices (e.g. per-chain group assignments in a
+            # random-effects model): lane-resident one-hot (B, n, BC),
+            # VPU-reduced over axis 0 (axis-0 reductions on 3-D tiles are
+            # the Mosaic-legal layout, cf. the gather tile branch)
+            idx = indices.arr.reshape((-1, idx_shape[-1], bc))
+            flat_idx = _flat_index(idx, s, sim, tile=True)  # (B, BC)
+            b_rows = int(flat_idx.shape[0])
+            iota = lax.broadcasted_iota(jnp.int32, (b_rows, n, bc), 1)
+            onehot = (flat_idx[:, None, :] == iota).astype(jnp.float32)
+        else:
+            idx = indices.reshape(-1, indices.shape[-1])
+            flat_idx = _flat_index(idx, s, sim, tile=False)
+            b_rows = int(flat_idx.shape[0])
+            iota = lax.broadcasted_iota(jnp.int32, (b_rows, n), 1)
+            onehot = (flat_idx[:, None] == iota).astype(jnp.float32)  # (B, n)
 
         pieces = []
         for j in range(r):
             rest_idx = np.unravel_index(j, rest_sizes) if rest else ()
             sel = (slice(None),) + tuple(int(i) for i in rest_idx) + (slice(None),)
             upd_j = upd[sel].astype(jnp.float32)  # (B, BC)
-            scat_j = lax.dot_general(
-                onehot, upd_j, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (n, BC)
+            if idx_tile:
+                scat_j = jnp.sum(onehot * upd_j[:, None, :], axis=0)  # (n, BC)
+            else:
+                scat_j = lax.dot_general(
+                    onehot, upd_j, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (n, BC)
             a_j = a[sel]
             if is_add:
                 new_j = a_j + scat_j.astype(dtype)
             else:
-                hit = jnp.sum(onehot, axis=0) > 0  # (n,)
-                new_j = jnp.where(hit[:, None], scat_j.astype(dtype), a_j)
+                if idx_tile:
+                    hit = jnp.sum(onehot, axis=0) > 0  # (n, BC)
+                    new_j = jnp.where(hit, scat_j.astype(dtype), a_j)
+                else:
+                    hit = jnp.sum(onehot, axis=0) > 0  # (n,)
+                    new_j = jnp.where(hit[:, None], scat_j.astype(dtype), a_j)
             pieces.append(new_j.reshape((n,) + (1,) * len(rest) + (bc,)))
         if rest:
             out = lax.concatenate(pieces, 1) if r > 1 else pieces[0]

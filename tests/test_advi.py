@@ -62,6 +62,7 @@ def test_fullrank_recovers_correlation():
     np.testing.assert_allclose(samples.std(0), [1.0, 1.0], rtol=0.15)
 
 
+@pytest.mark.slow
 def test_polynomial_posterior_advi_matches_gibbs():
     """Mean-field ADVI on the reference workload: marginal means must match
     the collapsed Gibbs sampler (variances are underestimated by mean-field,

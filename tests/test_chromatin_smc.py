@@ -14,6 +14,9 @@ from binf_tpu.parallel.mesh import make_chain_mesh, shard_chains
 from binf_tpu.smc import tempered_smc
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def problem():
     key = jax.random.key(0)

@@ -7,6 +7,7 @@ import pytest
 from binf_tpu.cli import main
 
 
+@pytest.mark.slow
 def test_cli_polynomial_gibbs(tmp_path, capsys):
     out = main([
         "--model", "polynomial", "--algorithm", "gibbs",
@@ -21,6 +22,7 @@ def test_cli_polynomial_gibbs(tmp_path, capsys):
     assert saved["chains"] == 64
 
 
+@pytest.mark.slow
 def test_cli_hmc_with_mesh():
     out = main([
         "--model", "polynomial", "--algorithm", "hmc",
@@ -46,6 +48,7 @@ def test_cli_advi():
     assert abs(out["posterior_means"]["coefficients"][1] + 4.0) < 0.6
 
 
+@pytest.mark.slow
 def test_cli_chees_hierarchical():
     out = main([
         "--model", "hierarchical", "--algorithm", "chees",
@@ -70,6 +73,7 @@ def test_cli_fused_polynomial():
     assert 0.3 < out["accept_rate"] <= 1.0
 
 
+@pytest.mark.slow
 def test_cli_fused_hierarchical():
     out = main([
         "--model", "hierarchical", "--algorithm", "fused",
@@ -79,6 +83,7 @@ def test_cli_fused_hierarchical():
     assert 0.3 < out["accept_rate"] <= 1.0
 
 
+@pytest.mark.slow
 def test_cli_logistic_nuts():
     out = main([
         "--model", "logistic", "--algorithm", "nuts",
@@ -87,3 +92,40 @@ def test_cli_logistic_nuts():
     means = out["summary"]["weights"]["mean"]
     assert abs(means[1] + 2.0) < 0.7  # TRUE_WEIGHTS[1] = -2.0
     assert out["summary"]["weights"]["rhat"][0] < 1.2
+
+
+@pytest.mark.slow
+def test_cli_statespace_fused():
+    """statespace registered in the CLI (round-2 VERDICT item 7): the AR(1)
+    model runs via the general fused path (lax.scan in the interpreter)."""
+    out = main([
+        "--model", "statespace", "--algorithm", "fused",
+        "--chains", "32", "--warmup", "200", "--samples", "150",
+    ])
+    assert 0.3 < out["accept_rate"] <= 1.0
+    assert out["summary"]["dynamics"]["rhat"][0] < 1.35
+
+
+def test_cli_mixture_hmc():
+    """mixture registered in the CLI; logsumexp likelihood via HMC."""
+    out = main([
+        "--model", "mixture", "--algorithm", "hmc",
+        "--chains", "32", "--warmup", "200", "--samples", "150",
+    ])
+    assert "means" in out["summary"]
+    assert out["summary"]["log_sigma"]["rhat"] < 1.5
+
+
+@pytest.mark.slow
+def test_cli_fused_warmup_mode_and_moments():
+    """--warmup-mode fused + --collect moments: one-dispatch adaptive run
+    with in-kernel streaming moments."""
+    out = main([
+        "--model", "polynomial", "--algorithm", "fused",
+        "--chains", "64", "--warmup", "300", "--samples", "300",
+        "--warmup-mode", "fused", "--collect", "moments",
+    ])
+    assert out["space"] == "unconstrained"
+    assert 0.3 < out["accept_rate"] <= 1.0
+    means = out["posterior_means"]["coefficients"]
+    assert abs(means[1] + 4.0) < 0.6

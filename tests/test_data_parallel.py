@@ -65,6 +65,7 @@ def test_gradient_through_sharding(data_mesh, lik):
     )
 
 
+@pytest.mark.slow
 def test_sharded_likelihood_in_posterior_hmc(data_mesh, lik):
     """The sharded likelihood composes into a Posterior and samples."""
     from binf_tpu.example.polynomial import make_priors

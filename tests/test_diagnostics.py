@@ -138,6 +138,7 @@ def test_ess_vectorized_shape(key):
     assert split_rhat(x).shape == (3,)
 
 
+@pytest.mark.slow
 def test_summary(key):
     samples = {
         "coefficients": jax.random.normal(key, (500, 8, 4)),

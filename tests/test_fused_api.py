@@ -9,6 +9,7 @@ from binf_tpu.example.polynomial import make_data, make_posterior
 from binf_tpu.samplers.fused import fused_regression_hmc
 
 
+@pytest.mark.slow
 def test_fused_regression_end_to_end():
     xses, ys = make_data(jax.random.key(1))
     posterior = make_posterior(xses, ys)

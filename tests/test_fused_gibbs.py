@@ -9,6 +9,9 @@ from binf_tpu.ops.math import vandermonde
 from binf_tpu.ops.pallas.fused_gibbs import fused_linreg_gibbs_run
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def problem():
     key = jax.random.key(1)

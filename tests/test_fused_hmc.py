@@ -50,6 +50,7 @@ def test_logdensity_reference_matches_posterior(problem):
     assert diff1 == pytest.approx(diff2, abs=1e-3)  # constant offset only
 
 
+@pytest.mark.slow
 def test_fused_run_recovers_posterior(problem):
     V, y, prior_var = problem
     C = 64

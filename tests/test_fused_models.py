@@ -7,6 +7,8 @@ under Pallas interpret mode with host noise; the identical graph lowers
 through Mosaic on TPU (exercised by the benchmarks).
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,7 @@ def _xla_reference(logdensity, positions, key, num_warmup, num_samples):
     return samples
 
 
+@pytest.mark.slow
 def test_fused_statespace_matches_xla():
     from binf_tpu.example.statespace import (
         initial_positions,
@@ -57,6 +60,7 @@ def test_fused_statespace_matches_xla():
     np.testing.assert_allclose(dyn.std(0), dyn_ref.std(0), rtol=0.5, atol=0.05)
 
 
+@pytest.mark.slow
 def test_fused_mixture_matches_xla():
     from binf_tpu.example.mixture import (
         TRUE_MEANS,

@@ -5,6 +5,8 @@ lane-axis vmap) and the ``fused_model_hmc`` driver on models the hand-tiled
 linreg kernel rejects.  Runs in Pallas interpret mode on the CPU mesh.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +55,7 @@ def test_tile_potential_hoists_consts():
     np.testing.assert_allclose(np.asarray(u), expected, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_model_gaussian_moments():
     """Anisotropic Gaussian with scalar+vector variables: exact moments."""
     mu_v = jnp.asarray([1.0, -1.0, 2.0])
@@ -87,6 +90,7 @@ def test_fused_model_gaussian_moments():
     np.testing.assert_allclose(s.std(), 0.7, rtol=0.15)
 
 
+@pytest.mark.slow
 def test_fused_model_on_posterior_graph():
     """The general path handles the polynomial posterior end-to-end and
     agrees with collapsed Gibbs (same check as the hand-tiled kernel)."""
@@ -134,6 +138,7 @@ def test_fused_model_on_posterior_graph():
     np.testing.assert_allclose(p.mean(), gp.mean(), rtol=0.2)
 
 
+@pytest.mark.slow
 def test_fused_model_per_chain_step_and_thin():
     """Per-chain step sizes + draw thinning keep exact moments."""
     mu = jnp.asarray([0.5, -0.5])
@@ -163,6 +168,7 @@ def test_fused_model_per_chain_step_and_thin():
     assert np.asarray(result.step_size).shape == (n_chains,)
 
 
+@pytest.mark.slow
 def test_fused_model_sharded_over_mesh():
     """One fused kernel per device over the sharded chain axis (8-device
     CPU mesh; north-star chain parallelism for the fused path)."""
@@ -198,6 +204,7 @@ def test_fused_model_sharded_over_mesh():
     assert np.std(first_draw[:8] - first_draw[8:16]) > 1e-4
 
 
+@pytest.mark.slow
 def test_fused_model_chees_trajectory():
     """trajectory='chees' adapts the trajectory length in warmup and freezes
     it to a static leapfrog count for the fused kernel; moments still match."""
@@ -224,6 +231,7 @@ def test_fused_model_chees_trajectory():
     np.testing.assert_allclose(v.std(0), np.asarray(sd_v), rtol=0.2)
 
 
+@pytest.mark.slow
 def test_fused_model_auto_step_size():
     """initial_step_size=None seeds warmup with find_reasonable_step_size."""
 

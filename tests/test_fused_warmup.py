@@ -57,6 +57,7 @@ def test_fused_warmup_metric_recovery():
     assert np.all(np.asarray(eps) > 0.01)
 
 
+@pytest.mark.slow
 def test_fused_warmup_step_size_calibrated_to_final_metric():
     """Step size must be dual-averaged UNDER the harvested metric (Stan
     final-buffer reset; ADVICE r2 item 1): sampling with the returned
@@ -76,6 +77,7 @@ def test_fused_warmup_step_size_calibrated_to_final_metric():
     assert 0.6 < acc < 0.95, f"acceptance {acc} not calibrated to target 0.8"
 
 
+@pytest.mark.slow
 def test_fused_warmup_matches_xla_window_adaptation():
     """Fused and XLA warmup must agree on the metric (ADVICE r2 item 2:
     regression for the inverted Welford reset in window_adaptation)."""
@@ -114,6 +116,7 @@ def test_fused_warmup_matches_xla_window_adaptation():
     assert 0.33 < ratio < 3.0
 
 
+@pytest.mark.slow
 def test_warmup_fused_end_to_end_moments():
     """fused_model_hmc(warmup='fused'): ONE dispatch for warmup+sampling,
     exact moments on the anisotropic Gaussian."""
@@ -134,6 +137,7 @@ def test_warmup_fused_end_to_end_moments():
     np.testing.assert_allclose(x.std(0), np.asarray(SD), rtol=0.2)
 
 
+@pytest.mark.slow
 def test_warmup_fused_moments_collect():
     """warmup='fused' composes with collect='moments' (O(D) HBM path)."""
     n_chains = 32
@@ -150,6 +154,7 @@ def test_warmup_fused_moments_collect():
     np.testing.assert_allclose(np.sqrt(v), np.asarray(SD), rtol=0.3)
 
 
+@pytest.mark.slow
 def test_warmup_fused_bitwise_determinism():
     """Same key -> bitwise-identical draws, step sizes, and metric."""
     init = {"x": MU[None, :] + 0.1 * jax.random.normal(jax.random.key(0), (32, 4))}
@@ -162,6 +167,7 @@ def test_warmup_fused_bitwise_determinism():
     np.testing.assert_array_equal(np.asarray(r1.inverse_mass), np.asarray(r2.inverse_mass))
 
 
+@pytest.mark.slow
 def test_warmup_fused_sharded_over_mesh():
     """warmup='fused' under shard_map: one warmup+sampling kernel pair per
     device over the sharded chain axis."""
@@ -184,6 +190,7 @@ def test_warmup_fused_sharded_over_mesh():
     assert np.std(first_draw[:8] - first_draw[8:16]) > 1e-5
 
 
+@pytest.mark.slow
 def test_warmup_fused_init_search():
     """initial_step_size=None runs the in-kernel Hoffman-Gelman doubling
     search; the adapted step size must land in a sensible band."""

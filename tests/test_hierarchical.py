@@ -104,6 +104,7 @@ def test_nuts_diagnostics(nuts_samples):
     assert (r < 1.2).all()
 
 
+@pytest.mark.slow
 def test_advi_agrees_with_nuts(problem, nuts_samples):
     from binf_tpu.vi import advi, variational_sample
 

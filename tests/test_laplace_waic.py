@@ -54,6 +54,7 @@ class TestLaplace:
             atol=0.05,
         )
 
+    @pytest.mark.slow
     def test_laplace_samples_match_mcmc_spread(self, setup):
         xses, ys, posterior, mcmc = setup
         result = laplace_approximation(posterior, jax.random.key(0), num_steps=1500)
@@ -64,6 +65,7 @@ class TestLaplace:
         np.testing.assert_allclose(lc.std(0), mc.std(0), rtol=0.25)
         assert (np.asarray(draws["precision"]) > 0).all()
 
+    @pytest.mark.slow
     def test_evidence_matches_smc(self, setup):
         """Laplace evidence vs SMC evidence on the same posterior."""
         from binf_tpu.smc import tempered_smc
@@ -113,6 +115,7 @@ class TestModelComparison:
         ))
         assert total == pytest.approx(expect, rel=1e-4)
 
+    @pytest.mark.slow
     def test_waic_prefers_true_model(self, setup):
         """WAIC: degree-3 polynomial (true) beats degree-1 on the same data."""
         xses, ys, posterior, mcmc = setup

@@ -83,6 +83,7 @@ def test_laplace_agrees_with_mcmc(problem, mcmc_samples):
     np.testing.assert_allclose(w_map, w_mcmc.mean(0), atol=0.15)
 
 
+@pytest.mark.slow
 def test_fused_model_hmc_on_logistic(problem, mcmc_samples):
     from binf_tpu.samplers.fused import fused_model_hmc
 

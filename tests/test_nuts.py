@@ -21,6 +21,7 @@ def correlated_logdensity(pos):
     return -(x**2 - 2 * rho * x * y + y**2) / (2 * (1 - rho**2))
 
 
+@pytest.mark.slow
 def test_moments_isotropic(key):
     kernel = nuts(gaussian_2d_logdensity, step_size=0.5, max_doublings=6)
     n_chains = 256
@@ -35,6 +36,7 @@ def test_moments_isotropic(key):
     assert abs(y.std() - 0.5) < 0.06
 
 
+@pytest.mark.slow
 def test_moments_correlated(key):
     """Strongly correlated target -- NUTS must adapt trajectory length."""
     kernel = nuts(correlated_logdensity, step_size=0.3, max_doublings=8)
@@ -49,6 +51,7 @@ def test_moments_correlated(key):
     assert abs(np.corrcoef(x, np.asarray(samples["y"][200:]).ravel())[0, 1] - 0.9) < 0.05
 
 
+@pytest.mark.slow
 def test_tree_depth_scales_with_step_size(key):
     """Smaller steps -> more doublings before the U-turn."""
     pos = {"x": jnp.asarray(0.5), "y": jnp.asarray(0.1)}

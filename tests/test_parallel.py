@@ -200,6 +200,7 @@ def test_gibbs_workload_sharded(key):
     )  # data is noisy; loose truth check
 
 
+@pytest.mark.slow
 def test_smc_sharded_particles(key):
     """SMC with the particle axis sharded over the mesh."""
     from binf_tpu.example.polynomial import make_data, make_posterior
@@ -224,6 +225,7 @@ def test_smc_sharded_particles(key):
     np.testing.assert_allclose(c.mean(0), [2.0, -4.0, 1.0, 1.5], atol=0.6)
 
 
+@pytest.mark.slow
 def test_window_adaptation_auto_initial_step(key):
     """initial_step_size=None runs find_reasonable_step_size (Hoffman &
     Gelman Alg. 4) to seed dual averaging; the result must land in the same

@@ -83,6 +83,7 @@ def _fused_positions(n=32):
     return {"x": jnp.zeros((n,)), "y": jnp.zeros((n, 2))}
 
 
+@pytest.mark.slow
 def test_fused_blocks_moments_match_draws(key):
     """In-kernel Welford moments == host-side moments of the same draws."""
     from binf_tpu.parallel.production import run_fused_blocks
@@ -109,6 +110,7 @@ def test_fused_blocks_moments_match_draws(key):
     assert abs(float(res_m.mean["x"].mean())) - 2.0 < 0.3
 
 
+@pytest.mark.slow
 def test_fused_blocks_checkpoint_resume_bitwise(tmp_path, key):
     """Round-1 VERDICT item 3: a preempted FUSED run resumes bitwise."""
     from binf_tpu.parallel.production import run_fused_blocks
@@ -136,6 +138,7 @@ def test_fused_blocks_checkpoint_resume_bitwise(tmp_path, key):
     assert int(res_resumed.carry.block) == 4
 
 
+@pytest.mark.slow
 def test_fused_blocks_sharded_mesh(tmp_path, key):
     """run_fused_blocks(mesh=...): one fused kernel per device per block over
     the sharded chain axis, sharded Orbax checkpoint, bitwise resume
@@ -173,6 +176,7 @@ def test_fused_blocks_sharded_mesh(tmp_path, key):
     assert getattr(sh, "spec", None) is not None
 
 
+@pytest.mark.slow
 def test_fused_blocks_fused_warmup(key):
     """run_fused_blocks(warmup='fused'): in-kernel adaptation feeds the
     block driver; per-chain step size/metric carried through blocks."""

@@ -17,6 +17,7 @@ def make_target(key, D=8):
     return A, b, mean, cov
 
 
+@pytest.mark.slow
 def test_moments_match_gaussian(key):
     # trajectory length 0.45 * 7 ~ 3.15 avoids the half-period resonance of
     # this target's eigenmodes (a resonant length mixes some modes slowly)

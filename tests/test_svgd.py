@@ -10,6 +10,9 @@ from binf_tpu.pdf import FunctionPrior, GaussianPrior, Posterior
 from binf_tpu.vi.svgd import svgd
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_svgd_matches_gaussian_target():
     prior = GaussianPrior.create(
         jnp.asarray([1.0, -2.0]), jnp.asarray([0.25, 4.0]), variable="z"

@@ -53,6 +53,7 @@ def _check_potential_matches_vmap(logdensity, template, key, atol=1e-4):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_polynomial_model():
     from binf_tpu.example.polynomial import make_data, make_posterior
 
@@ -63,6 +64,7 @@ def test_polynomial_model():
     _check_potential_matches_vmap(ld, template, jax.random.key(0))
 
 
+@pytest.mark.slow
 def test_logistic_model():
     from binf_tpu.example.logistic import (
         make_logistic_posterior,
@@ -77,6 +79,7 @@ def test_logistic_model():
     )
 
 
+@pytest.mark.slow
 def test_hierarchical_model_matrix_variables():
     """The case vmap-based tiling cannot lower on TPU: (G, 2) matrix
     variables with model-internal reshapes."""
@@ -189,6 +192,7 @@ def _vmap_equiv(f, *shapes, seed=0, atol=1e-5, grad=True):
         )
 
 
+@pytest.mark.slow
 def test_sort_and_argsort():
     _vmap_equiv(lambda q: jnp.sum(jnp.sort(q) * jnp.arange(7.0)), (7,))
     _vmap_equiv(
@@ -218,6 +222,7 @@ def test_argmax_argmin():
     )
 
 
+@pytest.mark.slow
 def test_cumulative_ops():
     _vmap_equiv(lambda q: jnp.sum(jnp.cumsum(q) * q), (11,))
     _vmap_equiv(lambda q: jnp.sum(jnp.cumprod(jnp.abs(q) + 0.5)), (6,))
@@ -233,6 +238,7 @@ def test_iota_primitive():
     _vmap_equiv(lambda q: jnp.sum(q * jax.lax.iota(jnp.float32, 5)), (5,))
 
 
+@pytest.mark.slow
 def test_reduce_middle_axis():
     """Reductions over non-leading axes of matrix variables (the Mosaic
     second-minor canonicalization path)."""
@@ -287,6 +293,7 @@ def test_cond_and_switch():
     _vmap_equiv(sw, (6,), grad=False)
 
 
+@pytest.mark.slow
 def test_scan_rules():
     def ar(q):  # sequential carry: the state-space pattern
         phi, x0 = q[0] * 0.5, q[1]
@@ -340,6 +347,7 @@ def test_scatter_add_segment_sum():
     _vmap_equiv(f, (6,))
 
 
+@pytest.mark.slow
 def test_mixture_density_through_interpreter():
     """sort + logsumexp + component-axis reductions: the mixture workload."""
     from binf_tpu.example.mixture import make_mixture_posterior, synthetic_mixture_data
@@ -368,3 +376,58 @@ def test_statespace_density_through_interpreter():
     )
     template = {"dynamics": jnp.zeros(3), "precision": jnp.zeros(())}
     _check_potential_matches_vmap(ld, template, jax.random.key(6), atol=1e-3)
+
+
+def test_scatter_add_per_chain_indices():
+    """Per-chain segment indices (round-2 VERDICT item 8): each chain
+    scatters into bins chosen by its own (traced) values."""
+
+    def f(q):
+        seg = jnp.clip((q[:4] * 2 + 2).astype(jnp.int32), 0, 3)
+        z = jnp.zeros(4).at[seg].add(q[4:])
+        return jnp.sum(z**2 * jnp.arange(1.0, 5.0))
+
+    _vmap_equiv(f, (8,))
+
+
+def test_scatter_set_per_chain_indices():
+    def f(q):
+        # disjoint ranges keep per-chain indices UNIQUE (scatter-set with
+        # duplicates is undefined in XLA itself; the rule assumes unique)
+        i0 = jnp.clip((q[:1] * 2 + 1).astype(jnp.int32), 0, 2)
+        i1 = jnp.clip((q[1:2] * 2 + 4).astype(jnp.int32), 3, 5)
+        idx = jnp.concatenate([i0, i1])
+        z = jnp.full((6,), -1.0).at[idx].set(q[2:4])
+        return jnp.sum(z * jnp.arange(6.0))
+
+    _vmap_equiv(f, (4,), grad=False)
+
+
+def test_random_effects_per_chain_assignment_fused():
+    """A random-effects model whose group assignment is PER-CHAIN (derived
+    from a latent variable) runs through the full fused potential path:
+    value and gradient equal to vmap."""
+    y = jnp.asarray(np.random.default_rng(0).normal(size=12), jnp.float32)
+
+    def logdensity(pos):
+        # soft assignments -> hard per-chain group ids (traced)
+        assign = jnp.clip(
+            (jnp.tanh(pos["boundaries"]) * 2 + 2).astype(jnp.int32), 0, 3
+        )  # (12,) per chain
+        effects = pos["effects"]  # (4,)
+        resid = y - effects[assign]  # per-chain gather
+        # per-chain group counts via scatter-add
+        counts = jnp.zeros(4).at[assign].add(jnp.ones(12))
+        lp = -0.5 * jnp.sum(resid**2)
+        lp += -0.5 * jnp.sum(effects**2)
+        lp += -0.01 * jnp.sum(counts**2)  # weak balance penalty
+        lp += -0.5 * jnp.sum(pos["boundaries"] ** 2)
+        return lp
+
+    template = {
+        "effects": jnp.zeros(4),
+        "boundaries": jnp.zeros(12),
+    }
+    _check_potential_matches_vmap(
+        logdensity, template, jax.random.key(11), atol=1e-3
+    )
