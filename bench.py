@@ -128,8 +128,24 @@ def main():
     import jax
 
     from binf_tpu.io.cache import enable_persistent_cache
+    from binf_tpu.io.health import wait_for_device_health
 
     enable_persistent_cache()
+    if jax.default_backend() != "cpu":
+        # the tunneled TPU's device->host path wedges intermittently; in
+        # that state block_until_ready doesn't wait and timings are garbage.
+        # Gate the scored run on a subprocess canary (see io/health.py).
+        _progress("device-health canary ...")
+        if not wait_for_device_health(max_wait=600.0, log=_progress):
+            print(json.dumps({
+                "metric": "effective samples/sec/chip, polynomial posterior",
+                "value": None,
+                "unit": "ESS/s",
+                "vs_baseline": None,
+                "error": "device->host path unhealthy; measurement refused",
+            }), flush=True)
+            return
+        _progress("device healthy")
     import jax.numpy as jnp
 
     from binf_tpu.diagnostics import ess

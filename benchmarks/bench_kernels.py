@@ -119,8 +119,11 @@ def bench_pairwise():
 
 if __name__ == "__main__":
     from binf_tpu.io.cache import enable_persistent_cache
+    from binf_tpu.io.health import wait_for_device_health
 
     enable_persistent_cache()
+    if jax.default_backend() != "cpu" and not wait_for_device_health():
+        sys.exit(1)
     print(f"# device: {jax.devices()[0].device_kind}", file=sys.stderr)
     bench_leapfrog()
     bench_pairwise()

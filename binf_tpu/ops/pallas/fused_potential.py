@@ -427,18 +427,21 @@ def _warmup_kernel(
         direction = jnp.where(p_init > 0.5, 1.0, -1.0)
 
         def search_step(t, c):
+            # all-float carry: Mosaic rejects selects over i1 vectors
+            # (arith.trunci i8->i1), so "done"/"crossed" are 0.0/1.0 masks.
+            # crossed <=> direction>0 ? p<=0.5 : p>=0.5, in one comparison.
             log_eps, p, done = c
-            crossed = jnp.where(direction > 0.0, p <= 0.5, p >= 0.5)
-            done = jnp.logical_or(done, crossed)
+            crossed = jnp.where(direction * (0.5 - p) >= 0.0, 1.0, 0.0)
+            done = jnp.maximum(done, crossed)
             cand = log_eps + direction * jnp.log(2.0)
             p_cand = pooled_alpha(cand, t + 1)
-            log_eps = jnp.where(done, log_eps, cand)
-            p = jnp.where(done, p, p_cand)
+            log_eps = done * log_eps + (1.0 - done) * cand
+            p = done * p + (1.0 - done) * p_cand
             return log_eps, p, done
 
         log_eps0, _, _ = jax.lax.fori_loop(
             0, _SEARCH_TRIALS, search_step,
-            (log_eps0, p_init, jnp.zeros((1, 1), jnp.bool_)),
+            (log_eps0, p_init, jnp.zeros((1, 1), jnp.float32)),
         )
 
     def regularized_variance(n, m2):
@@ -665,6 +668,12 @@ def fused_warmup_run(
             scratch_shapes=[pltpu.VMEM((d_pad, block_chains), jnp.float32)],
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # default scoped-VMEM budget is 16MB; models with per-datapoint
+            # intermediates (e.g. mixture logsumexp over (n, K, BC)) spill
+            # past it at BC=512 while the chip has 128MB -- raise the cap
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * d_pad * block_chains * num_warmup * (num_leapfrog + 3) * 64,
             bytes_accessed=4 * num_warmup * d_pad * C,
@@ -843,6 +852,9 @@ def fused_potential_hmc_run(
             scratch_shapes=[pltpu.VMEM((d_pad, block_chains), jnp.float32)],
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # see fused_warmup_run note
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * d_pad * block_chains * num_steps * (num_leapfrog + 3) * 64,
             bytes_accessed=4 * num_steps * d_pad * C,

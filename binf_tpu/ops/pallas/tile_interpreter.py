@@ -336,12 +336,15 @@ def _sort_rule(prim, invals, params, out_avals, bc):
     n = arrs[0].shape[axis]
     n_pad = 1 << max(0, (n - 1).bit_length())
     if n_pad != n:
+        # pad via concatenate-with-constant, NOT lax.pad: the transpose of
+        # pad is a NEGATIVE pad, which Mosaic cannot lower (invalid vector
+        # type); concatenate transposes to a plain slice.
         padded = []
         for i, a in enumerate(arrs):
             fill = _pad_fill_value(a.dtype) if i < num_keys else 0
-            pads = [(0, 0, 0)] * a.ndim
-            pads[axis] = (0, n_pad - n, 0)
-            padded.append(lax.pad(a, jnp.asarray(fill, a.dtype), pads))
+            fill_shape = a.shape[:axis] + (n_pad - n,) + a.shape[axis + 1 :]
+            block = jnp.full(fill_shape, fill, a.dtype)
+            padded.append(lax.concatenate([a, block], axis))
         arrs = padded
 
     def split(a, jj):
@@ -929,7 +932,11 @@ def _while_unsupported(prim, invals, params, out_avals, bc):
     raise UnsupportedPrimitiveError(
         "while_loop has a data-dependent trip count and cannot be "
         "lane-batched; use lax.scan / lax.fori_loop with a static bound "
-        "(mask the tail) instead"
+        "(mask the tail) instead.  Note this is not only a kernel "
+        "limitation: reverse-mode AD cannot differentiate while_loop "
+        "either, so a log density containing one cannot be sampled by any "
+        "gradient-based path (XLA HMC/NUTS included) -- a bounded, masked "
+        "scan is the JAX-idiomatic form of such models"
     )
 
 
