@@ -188,7 +188,7 @@ def main():
         axis=1,
     )
 
-    bc = min(512, N_CHAINS)
+    bc = min(int(os.environ.get("BENCH_BLOCK_CHAINS", 512)), N_CHAINS)
     kern_kwargs = dict(
         num_leapfrog=10,
         block_chains=bc,

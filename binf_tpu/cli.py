@@ -148,6 +148,14 @@ def main(argv=None):
     ap.add_argument("--collect", default="draws", choices=["draws", "moments"],
                     help="fused algorithm: collect draws, or stream Welford "
                          "moments in-kernel (O(D) HBM for long runs)")
+    ap.add_argument("--block-chains", default="512",
+                    help="fused algorithm: chain-tile width (int, or 'auto' "
+                         "to size from a VMEM estimate -- small-state models "
+                         "want 2048-4096, see docs/performance.md)")
+    ap.add_argument("--metric", default="diag", choices=["diag", "dense"],
+                    help="hmc algorithm: diagonal or full-covariance mass "
+                         "matrix (dense preconditions correlated posteriors; "
+                         "adaptation in samplers/dense.py)")
     ap.add_argument("--persistent-cache", action="store_true")
     args = ap.parse_args(argv)
 
@@ -280,6 +288,8 @@ def main(argv=None):
             logdensity, u_positions, k_run,
             num_warmup=args.warmup, num_samples=args.samples,
             initial_step_size=None if args.auto_step_size else args.step_size,
+            block_chains=(args.block_chains if args.block_chains == "auto"
+                          else int(args.block_chains)),
             per_chain_step_size=args.per_chain_step,
             thin=args.thin,
             mesh=mesh,
@@ -336,6 +346,27 @@ def main(argv=None):
             states = jax.vmap(kernel.init)(adapt.final_positions)
             _, samples = jax.jit(
                 lambda s, k: run_chains(kernel, k, s, args.samples)
+            )(states, jax.random.fold_in(k_run, 1))
+        elif args.algorithm == "hmc" and args.metric == "dense":
+            from binf_tpu.samplers.dense import dense_hmc, dense_window_adaptation
+
+            positions = init_fn(args.chains, key=k_init)
+            u_positions = _unconstrain_batch(transforms, positions)
+            template = jax.tree.map(lambda x: x[0], u_positions)
+            adapt = jax.jit(
+                lambda k: dense_window_adaptation(
+                    logdensity, u_positions, k, num_steps=args.warmup,
+                    num_integration_steps=10,
+                    initial_step_size=args.step_size,
+                )
+            )(k_run)
+            kernel = dense_hmc(
+                logdensity, template, adapt.step_size, 10,
+                inverse_mass_matrix=adapt.inverse_mass_matrix,
+            )
+            states = init_chains(kernel, adapt.final_positions, mesh=mesh)
+            _, samples = jax.jit(
+                lambda s, k: run_chains(kernel, k, s, args.samples, mesh=mesh)
             )(states, jax.random.fold_in(k_run, 1))
         else:
             from binf_tpu.samplers.hmc import hmc

@@ -15,6 +15,18 @@ integrator throughput matters.
 
 The public entry :func:`quadratic_leapfrog` falls back to a lax.scan
 implementation off-TPU (and under ``interpret=True`` for tests).
+
+RETIRED FROM DEFAULT ROUTING (round 3): measured head-to-head on TPU v5e
+the kernel loses to the XLA scan at its recorded shape (1.86 ms vs
+1.61 ms, C=8192 D=128 L=32) and a D/L sweep found no crossover -- a
+quadratic potential's trajectory is a pure matmul chain, which XLA
+already schedules at the roofline with q/p kept in registers/VMEM by
+fusion; there is no HBM round-trip for residency to eliminate.
+``samplers.quadratic_hmc`` therefore routes to
+:func:`quadratic_leapfrog_reference` by default; the kernel stays for
+explicit opt-in and as the reference Pallas idiom for whole-trajectory
+fusion (the pattern the WINNING whole-run kernels in ``fused_hmc.py`` /
+``fused_potential.py`` extend to entire runs).
 """
 
 from __future__ import annotations

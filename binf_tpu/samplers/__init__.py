@@ -25,6 +25,12 @@ from binf_tpu.samplers.gibbs import (
     mh_block,
     nuts_block,
 )
+from binf_tpu.samplers.dense import (
+    DenseAdaptationResult,
+    DenseHMCState,
+    dense_hmc,
+    dense_window_adaptation,
+)
 from binf_tpu.samplers.hmc import HMCInfo, HMCState, hmc
 from binf_tpu.samplers.mala import MALAInfo, MALAState, mala
 from binf_tpu.samplers.nuts import NUTSInfo, NUTSState, nuts
@@ -89,4 +95,8 @@ __all__ = [
     "SliceState",
     "elliptical_slice",
     "slice_sampler",
+    "DenseAdaptationResult",
+    "DenseHMCState",
+    "dense_hmc",
+    "dense_window_adaptation",
 ]

@@ -203,6 +203,36 @@ def _cached_tile_potential(logdensity_fn, template):
     return hit
 
 
+def _auto_block_chains(spec, consts):
+    """Pick the chain-tile width from a VMEM-usage estimate.
+
+    Measured on v5e (docs/performance.md): small-state models need
+    2048-4096-chain tiles to fill the VPU/MXU (polynomial 0.58x -> 1.01x
+    vs XLA going 512 -> 2048 at 8k chains), while data-heavy models spill
+    VMEM at wide tiles and gain nothing past 512-1024.  Estimate the
+    dominant per-lane VMEM bytes -- state buffers plus per-datapoint VJP
+    intermediates, ~32 live f32 copies of (d_pad + total constant
+    elements) matches the observed footprint (mixture: 16.6MB at 512
+    lanes ~= 32.4KB/lane with ~250 const elements) -- and take the widest
+    power-of-two tile in [512, 4096] under a 48MB budget (half the
+    kernels' 100MB scoped-VMEM cap, leaving room for noise staging and
+    draw buffers)."""
+    import numpy as _np
+
+    d = sum(size for _, _, size in spec)
+    d_pad = ((d + 7) // 8) * 8
+    c_tot = sum(
+        int(_np.prod(v.shape)) if getattr(v, "shape", ()) else 1
+        for v in consts.values()
+    )
+    per_lane = 4 * 32 * (d_pad + c_tot)
+    budget = 48 * 1024 * 1024
+    bc = 4096
+    while bc > 512 and per_lane * bc > budget:
+        bc //= 2
+    return bc
+
+
 class FusedModelResult(NamedTuple):
     samples: dict[str, Array] | None  # unconstrained, (num_samples, C, ...)
     accept_rate: Array
@@ -223,7 +253,7 @@ def fused_model_hmc(
     num_samples: int = 1000,
     num_leapfrog: int = 10,
     initial_step_size: float | None = 0.05,
-    block_chains: int = 512,
+    block_chains: int | str = 512,
     per_chain_step_size: bool = False,
     thin: int = 1,
     mesh=None,
@@ -300,6 +330,8 @@ def fused_model_hmc(
     if n_chains % n_dev:
         raise ValueError(f"{n_chains=} must be divisible by mesh chain axis {n_dev}")
     n_local = n_chains // n_dev
+    if block_chains == "auto":
+        block_chains = _auto_block_chains(spec, consts)
     bc = min(block_chains, n_local)
     while n_local % bc:
         bc -= 1

@@ -67,9 +67,13 @@ def quadratic_hmc(
         return 0.5 * jnp.sum(q * Aq, axis=-1) - q @ b
 
     def integrate(q, p, eps):
-        pallas_ok = use_pallas if use_pallas is not None else (
-            jax.default_backend() == "tpu"
-        )
+        # Default routing is the XLA scan: measured on TPU v5e the Pallas
+        # kernel LOSES at the recorded shape (1.86 vs 1.61 ms at C=8192,
+        # D=128, L=32) -- XLA compiles this pure-matmul-chain scan at the
+        # roofline, with nothing left for VMEM residency to save.  The
+        # kernel remains available by explicit opt-in (use_pallas=True),
+        # exercised bitwise-vs-XLA in interpret mode by tests.
+        pallas_ok = bool(use_pallas)
         if pallas_ok:
             return quadratic_leapfrog(
                 q, p, A, b, eps, num_integration_steps,

@@ -129,3 +129,15 @@ def test_cli_fused_warmup_mode_and_moments():
     assert 0.3 < out["accept_rate"] <= 1.0
     means = out["posterior_means"]["coefficients"]
     assert abs(means[1] + 4.0) < 0.6
+
+
+def test_cli_hmc_dense_metric():
+    """--metric dense: dense-mass HMC on the (correlated) polynomial
+    posterior recovers the coefficients."""
+    out = main([
+        "--model", "polynomial", "--algorithm", "hmc", "--metric", "dense",
+        "--chains", "64", "--warmup", "300", "--samples", "200",
+    ])
+    means = out["summary"]["coefficients"]["mean"]
+    assert abs(means[1] + 4.0) < 0.6
+    assert out["summary"]["precision"]["mean"] > 0

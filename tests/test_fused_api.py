@@ -56,3 +56,27 @@ def test_fused_rejects_wrong_model():
     post = make_hierarchical_posterior(x, y, counts, 4)
     with pytest.raises(ValueError):
         fused_regression_hmc(post, jax.random.key(0), n_chains=8)
+
+
+def test_auto_block_chains_heuristic():
+    """'auto' tile sizing: small-state/small-data -> wide tiles, data-heavy
+    -> narrow; and the fused driver accepts the string."""
+    from binf_tpu.samplers.fused import _auto_block_chains, fused_model_hmc
+
+    # tiny model: d=5, ~100 const elements -> wide tile (2048+: measured
+    # parity between 2048 and 4096 on the polynomial family)
+    spec_small = [("coefficients", (4,), 4), ("precision", (), 1)]
+    consts_small = {"V": jnp.zeros((20, 4)), "y": jnp.zeros(20)}
+    assert _auto_block_chains(spec_small, consts_small) >= 2048
+
+    # data-heavy model: per-datapoint intermediates shrink the tile
+    consts_big = {"data": jnp.zeros((4000,))}
+    assert _auto_block_chains(spec_small, consts_big) <= 1024
+
+    logdensity = lambda p: -0.5 * jnp.sum(p["x"] ** 2)
+    pos = {"x": 0.1 * jax.random.normal(jax.random.key(0), (64, 3))}
+    result = fused_model_hmc(
+        logdensity, pos, jax.random.key(1),
+        num_warmup=50, num_samples=50, block_chains="auto",
+    )
+    assert result.samples["x"].shape == (50, 64, 3)
