@@ -136,7 +136,11 @@ def main():
         # that state block_until_ready doesn't wait and timings are garbage.
         # Gate the scored run on a subprocess canary (see io/health.py).
         _progress("device-health canary ...")
-        if not wait_for_device_health(max_wait=600.0, log=_progress):
+        # observed outage windows run ~60-75 min; spend most of the bench
+        # budget waiting for a heal rather than refusing early (a completed
+        # late run beats an early null)
+        max_wait = float(os.environ.get("BENCH_HEALTH_WAIT", 1380.0))
+        if not wait_for_device_health(max_wait=max_wait, log=_progress):
             print(json.dumps({
                 "metric": "effective samples/sec/chip, polynomial posterior",
                 "value": None,
@@ -188,7 +192,11 @@ def main():
         axis=1,
     )
 
-    bc = min(int(os.environ.get("BENCH_BLOCK_CHAINS", 512)), N_CHAINS)
+    # Tile-width sweep on v5e (2026-08-21, docs/performance.md): one tile
+    # spanning ALL chains is fastest -- 512-lane tiles leave the VPU
+    # underfilled on this small-state model (bc=512: 1.09e8 ESS/s e2e;
+    # 2048: 2.54e8; 4096: 2.94-2.98e8; 16384 single tile: 3.07-3.12e8).
+    bc = min(int(os.environ.get("BENCH_BLOCK_CHAINS", N_CHAINS)), N_CHAINS)
     kern_kwargs = dict(
         num_leapfrog=10,
         block_chains=bc,

@@ -282,6 +282,9 @@ def fused_linreg_gibbs_run(
             scratch_shapes=[pltpu.VMEM((8, block_chains), jnp.float32)],
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # see fused_hmc note
+        ),
     )(seed_arr, q0_t, vpad, ypad, vtv, vty, ipv, pm, gz, gu, cz)
 
     return jnp.transpose(draws[:, : d + 1, :], (0, 2, 1))

@@ -306,6 +306,11 @@ def fused_linreg_hmc_run(
             scratch_shapes=[pltpu.VMEM((8, block_chains), jnp.float32)],
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # wide chain tiles (4096-16384 lanes) spill the 16MB default
+            # scoped-VMEM budget; the chip has 128MB (see fused_potential)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n_pad * 8 * C * num_steps * (num_leapfrog + 3),
             bytes_accessed=4 * num_steps * 8 * C,
