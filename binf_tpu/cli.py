@@ -148,10 +148,11 @@ def main(argv=None):
     ap.add_argument("--collect", default="draws", choices=["draws", "moments"],
                     help="fused algorithm: collect draws, or stream Welford "
                          "moments in-kernel (O(D) HBM for long runs)")
-    ap.add_argument("--block-chains", default="512",
+    ap.add_argument("--block-chains", default="auto",
                     help="fused algorithm: chain-tile width (int, or 'auto' "
-                         "to size from a VMEM estimate -- small-state models "
-                         "want 2048-4096, see docs/performance.md)")
+                         "(default) to size from a VMEM estimate -- "
+                         "small-state models want 2048+ lanes, see "
+                         "docs/performance.md)")
     ap.add_argument("--metric", default="diag", choices=["diag", "dense"],
                     help="hmc algorithm: diagonal or full-covariance mass "
                          "matrix (dense preconditions correlated posteriors; "

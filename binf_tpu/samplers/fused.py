@@ -253,7 +253,7 @@ def fused_model_hmc(
     num_samples: int = 1000,
     num_leapfrog: int = 10,
     initial_step_size: float | None = 0.05,
-    block_chains: int | str = 512,
+    block_chains: int | str = "auto",
     per_chain_step_size: bool = False,
     thin: int = 1,
     mesh=None,
