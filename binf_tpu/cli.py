@@ -141,10 +141,13 @@ def main(argv=None):
     ap.add_argument("--trajectory", default="fixed", choices=["fixed", "chees"],
                     help="fused algorithm: trajectory-length source "
                          "(chees = ChEES-adapted, frozen to a static count)")
-    ap.add_argument("--warmup-mode", default="xla", choices=["xla", "fused"],
-                    help="fused algorithm: run adaptation on the XLA path or "
+    ap.add_argument("--warmup-mode", default="xla",
+                    choices=["xla", "fused", "dense"],
+                    help="fused algorithm: adaptation on the XLA path, "
                          "INSIDE a Pallas kernel (warmup+sampling = one "
-                         "dispatch; per-chain step size/metric)")
+                         "dispatch; per-chain step size/metric), or 'dense' "
+                         "(full-covariance metric; fused sampling with MXU "
+                         "matmul momenta)")
     ap.add_argument("--collect", default="draws", choices=["draws", "moments"],
                     help="fused algorithm: collect draws, or stream Welford "
                          "moments in-kernel (O(D) HBM for long runs)")

@@ -201,36 +201,56 @@ def _normal(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
-def _hmc_transition(q, z, u, eps, im, active, value_and_grad, num_leapfrog):
+def _hmc_transition(q, z, u, eps, im, active, value_and_grad, num_leapfrog,
+                    dense=None):
     """One MH-corrected leapfrog trajectory on the (D_pad, BC) tile.
 
     ``z`` is standard-normal noise, ``u`` the (1, BC) MH uniform, ``eps``
     broadcastable step size(s), ``im`` broadcastable inverse-mass diagonal.
+    ``dense=(minv, W)`` switches to a FULL (D_pad, D_pad) metric: momentum
+    sampling ``p = W z`` (W W^T = M), velocity ``M^{-1} p``, and the
+    kinetic form are then MXU matmuls over the tile; the padded rows of
+    minv/W must be zero.
     Returns ``(q_next, accept, dE)`` with ``dE = E0 - E1`` so callers can
     derive both the MH decision (sampling) and the acceptance probability
     ``min(1, exp(dE))`` (warmup dual averaging).  Carries
     ``(q, p, U(q), grad U(q))`` so a trajectory costs exactly
     ``num_leapfrog + 1`` potential evaluations.
     """
-    p = z / jnp.sqrt(jnp.maximum(im, 1e-20)) * active
+    if dense is None:
+        p = z / jnp.sqrt(jnp.maximum(im, 1e-20)) * active
+        velocity = lambda p: p * im
+        kinetic = lambda p: 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
+    else:
+        minv, W = dense
+        mm = lambda A, x: jnp.dot(A, x, preferred_element_type=jnp.float32)
+        p = mm(W, z) * active
+        velocity = lambda p: mm(minv, p)
+        kinetic = lambda p: 0.5 * jnp.sum(p * mm(minv, p), axis=0,
+                                          keepdims=True)
 
     U0, g = value_and_grad(q)
-    E0 = U0 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
+    E0 = U0 + kinetic(p)
 
     p = p - 0.5 * eps * g
 
     def leap(_, carry4):
         q, p, _, _ = carry4
-        q = q + eps * p * im
+        q = q + eps * velocity(p)
         u_, g = value_and_grad(q)
         p = p - eps * g
         return (q, p, u_, g)
 
     q_new, p, U1, g_end = jax.lax.fori_loop(0, num_leapfrog, leap, (q, p, U0, g))
     p = p + 0.5 * eps * g_end
-    E1 = U1 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
+    E1 = U1 + kinetic(p)
 
     dE = E0 - E1
+    # divergence guard: NaN or |dH| beyond the threshold rejects outright.
+    # f32 overflow in a model density at garbage positions can cancel into
+    # a spuriously-good energy (dE ~ +1e38) that plain MH would accept,
+    # poisoning the chain state (same rule as samplers/dense.py).
+    dE = jnp.where(jnp.isnan(dE) | (jnp.abs(dE) > 1000.0), -jnp.inf, dE)
     log_u = jnp.log(jnp.maximum(u, 1e-30))
     accept = log_u < dE
     q = jnp.where(accept, q_new, q)
@@ -247,8 +267,13 @@ def _kernel(
     host_noise: bool,
     thin: int,
     collect: str,
+    dense_metric: bool = False,
 ):
     (seed_ref, off_ref, eps_ref, q0_ref, im_ref), rest = refs[:5], refs[5:]
+    if dense_metric:
+        # im_ref then carries the (D_pad, D_pad) inverse mass; the
+        # momentum-sampling factor W rides as one extra operand
+        w_ref, rest = rest[0], rest[1:]
     n_consts = len(const_names)
     const_refs = rest[:n_consts]
     if collect == "moments":
@@ -282,8 +307,10 @@ def _kernel(
         pltpu.prng_seed(seed_ref[0, 0], i * (1 << 20) + off_ref[0, 0] + j)
 
     consts = {name: ref[:] for name, ref in zip(const_names, const_refs)}
-    # (D_pad, BC) per-chain inverse-mass diag, zero on padding rows
+    # (D_pad, BC) per-chain inverse-mass diag, zero on padding rows --
+    # or, dense_metric: (D_pad, D_pad) matrix + its sampling factor W
     im = im_ref[:]
+    dense = (im, w_ref[:]) if dense_metric else None
     dp = q_scr.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (dp, 1), 0)
     active = (row < d).astype(jnp.float32)
@@ -302,7 +329,8 @@ def _kernel(
             z = _normal(q.shape)
             u = _uniform((1, q.shape[1]))
         q, accept, _ = _hmc_transition(
-            q, z, u, eps, im, active, value_and_grad, num_leapfrog
+            q, z, u, eps, im, active, value_and_grad, num_leapfrog,
+            dense=dense,
         )
         q_scr[:] = q
         if collect == "moments":
@@ -707,6 +735,7 @@ class FusedRunResult(NamedTuple):
     static_argnames=(
         "potential", "num_steps", "num_leapfrog", "block_chains",
         "steps_per_block", "interpret", "host_noise", "thin", "collect",
+        "dense_mass",
     ),
 )
 def fused_potential_hmc_run(
@@ -714,7 +743,7 @@ def fused_potential_hmc_run(
     q0: Array,  # (C, D) flat unconstrained positions
     seed,
     step_size,  # scalar or per-chain (C,)
-    inverse_mass: Array,  # (D,) shared or (C, D) per-chain diagonal
+    inverse_mass: Array,  # (D,)/(C, D) diagonal, or (D, D) with dense_mass
     consts: dict[str, Array],
     *,
     num_steps: int,
@@ -725,6 +754,7 @@ def fused_potential_hmc_run(
     host_noise: bool = False,
     thin: int = 1,
     collect: str = "draws",
+    dense_mass: bool = False,
     block_offset=0,
 ) -> FusedRunResult:
     """Run ``num_steps`` fused HMC sweeps of ``exp(-potential)``.
@@ -753,9 +783,27 @@ def fused_potential_hmc_run(
 
     q0_t = jnp.zeros((d_pad, C), jnp.float32).at[:D, :].set(q0.T)
     im_in = jnp.asarray(inverse_mass, jnp.float32)
-    if im_in.ndim == 1:  # shared across chains
-        im_in = jnp.broadcast_to(im_in[None, :], (C, D))
-    im = jnp.zeros((d_pad, C), jnp.float32).at[:D, :].set(im_in.T)
+    if dense_mass:
+        # full (D, D) metric shared across chains: pad to (d_pad, d_pad)
+        # with ZERO rows/cols (padding coordinates carry no momentum) and
+        # derive the sampling factor W = C^{-T} (Minv = C C^T) so that
+        # p = W z has covariance M = inv(Minv)
+        if im_in.shape != (D, D):
+            raise ValueError(
+                f"dense_mass=True needs a ({D}, {D}) inverse mass, got "
+                f"{im_in.shape}"
+            )
+        chol = jnp.linalg.cholesky(im_in)
+        W_d = jax.scipy.linalg.solve_triangular(
+            chol.T, jnp.eye(D, dtype=jnp.float32), lower=False
+        )
+        im = jnp.zeros((d_pad, d_pad), jnp.float32).at[:D, :D].set(im_in)
+        W_pad = jnp.zeros((d_pad, d_pad), jnp.float32).at[:D, :D].set(W_d)
+    else:
+        if im_in.ndim == 1:  # shared across chains
+            im_in = jnp.broadcast_to(im_in[None, :], (C, D))
+        im = jnp.zeros((d_pad, C), jnp.float32).at[:D, :].set(im_in.T)
+        W_pad = None
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     off_arr = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
     eps_arr = jnp.broadcast_to(
@@ -787,6 +835,7 @@ def fused_potential_hmc_run(
         host_noise=host_noise,
         thin=thin,
         collect=collect,
+        dense_metric=dense_mass,
     )
     if host_noise:
         noise_index = lambda i, j: (j, 0, i)
@@ -836,8 +885,13 @@ def fused_potential_hmc_run(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, block_chains), tile_ix,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d_pad, block_chains), tile_ix,
-                             memory_space=pltpu.VMEM),
+                *(
+                    [pl.BlockSpec((d_pad, d_pad), fixed,
+                                  memory_space=pltpu.VMEM)] * 2
+                    if dense_mass else
+                    [pl.BlockSpec((d_pad, block_chains), tile_ix,
+                                  memory_space=pltpu.VMEM)]
+                ),
                 *const_specs,
                 pl.BlockSpec((steps_per_block, d_pad, block_chains),
                              noise_index, memory_space=pltpu.VMEM),
@@ -860,7 +914,8 @@ def fused_potential_hmc_run(
             bytes_accessed=4 * num_steps * d_pad * C,
             transcendentals=4 * d_pad * C * num_steps,
         ),
-    )(seed_arr, off_arr, eps_arr, q0_t, im, *const_arrays, mom, unif)
+    )(seed_arr, off_arr, eps_arr, q0_t, im,
+      *([W_pad] if dense_mass else []), *const_arrays, mom, unif)
 
     *collected, qf, acc = outs
     accept_rate = acc[0, 0] / (num_steps * n_tiles)

@@ -162,6 +162,9 @@ def dense_hmc(
         is_divergent = jnp.abs(delta) > divergence_threshold
 
         p_accept = jnp.minimum(1.0, safe_exp(-delta))
+        # divergent transitions are rejected outright (see the adaptation's
+        # note on f32 cancellation producing spuriously-good energies)
+        p_accept = jnp.where(is_divergent, 0.0, p_accept)
         accepted = jax.random.uniform(k_acc, ()) < p_accept
 
         q_new = jnp.where(accepted, qn, q)
@@ -265,8 +268,15 @@ def dense_window_adaptation(
         Pn = Pn - 0.5 * eps * gn
 
         delta = (-ldn + kinetic(Pn)) - (-ld + kinetic(P0))
-        delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
+        # divergence guard (Stan semantics): reject NaN and |dH| > threshold.
+        # Without the magnitude check, f32 overflow in a model's density at
+        # garbage positions can CANCEL into a huge spuriously-good value
+        # (observed: q ~ 1e19 accepted with delta ~ -9e37 during an eps
+        # spike after a dual-averaging restart), poisoning the covariance.
+        bad = jnp.isnan(delta) | (jnp.abs(delta) > DIVERGENCE_THRESHOLD)
+        delta = jnp.where(bad, jnp.inf, delta)
         p_accept = jnp.minimum(1.0, safe_exp(-delta))
+        p_accept = jnp.where(bad, 0.0, p_accept)
         accepted = jax.random.uniform(k_acc, (n_chains,)) < p_accept
 
         Q = jnp.where(accepted[:, None], Qn, Q)

@@ -237,7 +237,8 @@ class FusedModelResult(NamedTuple):
     samples: dict[str, Array] | None  # unconstrained, (num_samples, C, ...)
     accept_rate: Array
     step_size: Array  # scalar (warmup="xla") or per-chain (C,) (warmup="fused")
-    # flat (D,) shared (warmup="xla") or per-chain (C, D) (warmup="fused");
+    # flat (D,) shared (warmup="xla"), per-chain (C, D) (warmup="fused"),
+    # or a full (D, D) matrix (warmup="dense");
     # pack order = sorted variable names
     inverse_mass: Array
     mean: dict[str, Array] | None = None  # Welford moments (collect="moments")
@@ -295,6 +296,12 @@ def fused_model_hmc(
     which on a tunneled TPU cuts end-to-end warm latency from ~1.2 s to the
     device compute time.  Requires ``trajectory="fixed"``; ``step_size`` and
     ``inverse_mass`` in the result are then per-chain arrays.
+
+    ``warmup="dense"`` adapts a FULL covariance metric
+    (``samplers.dense.dense_window_adaptation`` on the XLA path) and runs
+    the fused sampling kernel with (D_pad, D_pad) MXU-matmul momenta and
+    velocities -- the preconditioner for correlated posteriors;
+    ``inverse_mass`` in the result is then the (D, D) matrix.
 
     ``trajectory="chees"`` adapts the trajectory length during warmup with
     ChEES (Hoffman, Radul & Sountsov 2021) instead of using the fixed
@@ -370,8 +377,103 @@ def fused_model_hmc(
             host_noise=host_noise, collect=collect, trajectory=trajectory,
             run_kwargs=run_kwargs,
         )
+    if warmup == "dense":
+        # full-covariance metric: XLA dense window adaptation, then the
+        # fused sampling kernel integrates with (D_pad, D_pad) MXU matmuls
+        # (momentum p = W z, velocity M^{-1} p) -- the preconditioner for
+        # correlated posteriors (see samplers/dense.py)
+        from binf_tpu.samplers.dense import dense_window_adaptation
+
+        if per_chain_step_size:
+            raise ValueError(
+                "per_chain_step_size is not supported with warmup='dense' "
+                "(the dense metric is pooled across chains)"
+            )
+        if trajectory != "fixed":
+            raise ValueError("warmup='dense' requires trajectory='fixed'")
+
+        @jax.jit
+        def warm_dense(positions, k):
+            a = dense_window_adaptation(
+                logdensity_fn, positions, k, num_steps=num_warmup,
+                num_integration_steps=num_leapfrog,
+                initial_step_size=(
+                    0.1 if initial_step_size is None else initial_step_size
+                ),
+            )
+            q0 = pack_positions(a.final_positions, spec)
+            eps = jnp.broadcast_to(
+                jnp.asarray(a.step_size, jnp.float32).reshape(-1),
+                (q0.shape[0],),
+            )
+            seed = jax.random.randint(jax.random.fold_in(k, 1), (), 0,
+                                      2**31 - 1)
+            return q0, a.inverse_mass_matrix, eps, seed
+
+        q0, minv, eps, seed = warm_dense(initial_positions, k_warm)
+        dense_kwargs = dict(run_kwargs, dense_mass=True)
+
+        if mesh is None:
+            r = fused_potential_hmc_run(
+                potential, q0, seed, eps, minv, consts, **dense_kwargs
+            )
+            collected = (
+                (r.mean, r.variance) if collect == "moments" else (r.draws,)
+            )
+            acc, qf = r.accept_rate, r.final_positions
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def device_run_dense(seed_g, q0_l, eps_l, minv_g, consts_l):
+                seed_l = seed_g + jax.lax.axis_index("chain")
+                r = fused_potential_hmc_run(
+                    potential, q0_l, seed_l, eps_l, minv_g, consts_l,
+                    **dense_kwargs
+                )
+                a = jax.lax.pmean(r.accept_rate, "chain")
+                if collect == "moments":
+                    return (r.mean, r.variance), a, r.final_positions
+                return (r.draws,), a, r.final_positions
+
+            if collect == "moments":
+                coll_spec = (P("chain", None), P("chain", None))
+            else:
+                coll_spec = (P(None, "chain", None),)
+            collected, acc, qf = jax.jit(
+                shard_map(
+                    device_run_dense,
+                    mesh=mesh,
+                    in_specs=(P(), P("chain", None), P("chain"),
+                              P(None, None), P()),
+                    out_specs=(coll_spec, P(), P("chain", None)),
+                    check_vma=False,
+                )
+            )(seed, q0, eps, minv, consts)
+
+        final_positions = _unpack_jit(qf, tuple(spec))
+        if collect == "moments":
+            mean, variance = collected
+            return FusedModelResult(
+                samples=None,
+                accept_rate=acc,
+                step_size=eps[0],
+                inverse_mass=minv,
+                mean=_unpack_jit(mean, tuple(spec)),
+                variance=_unpack_jit(variance, tuple(spec)),
+                final_positions=final_positions,
+            )
+        (draws,) = collected
+        return FusedModelResult(
+            samples=_unpack_jit(draws, tuple(spec)),
+            accept_rate=acc,
+            step_size=eps[0],
+            inverse_mass=minv,
+            final_positions=final_positions,
+        )
+
     if warmup != "xla":
-        raise ValueError(f"unknown {warmup=}; use 'xla' or 'fused'")
+        raise ValueError(f"unknown {warmup=}; use 'xla', 'dense', or 'fused'")
 
     if trajectory == "chees":
         from binf_tpu.samplers.chees import chees_adaptation

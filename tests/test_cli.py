@@ -141,3 +141,15 @@ def test_cli_hmc_dense_metric():
     means = out["summary"]["coefficients"]["mean"]
     assert abs(means[1] + 4.0) < 0.6
     assert out["summary"]["precision"]["mean"] > 0
+
+
+def test_cli_fused_dense_warmup():
+    """--warmup-mode dense: full-covariance metric + fused sampling."""
+    out = main([
+        "--model", "polynomial", "--algorithm", "fused",
+        "--warmup-mode", "dense", "--chains", "64",
+        "--warmup", "300", "--samples", "200", "--block-chains", "32",
+    ])
+    assert out["accept_rate"] > 0.5
+    means = out["summary"]["coefficients"]["mean"]
+    assert abs(means[1] + 4.0) < 0.8
