@@ -122,7 +122,12 @@ def main(argv=None):
     ap.add_argument("--model", default="polynomial")
     ap.add_argument("--algorithm", default="hmc",
                     choices=["hmc", "nuts", "chees", "rwm", "mala", "gibbs", "smc",
-                             "advi", "laplace", "svgd", "fused"])
+                             "advi", "laplace", "svgd", "fused", "pathfinder"])
+    ap.add_argument("--init", default="default",
+                    choices=["default", "pathfinder"],
+                    help="chain initialization: the model's init_fn, or "
+                         "pathfinder draws (chains start in the typical "
+                         "set, so short warmups suffice)")
     ap.add_argument("--chains", type=int, default=256)
     ap.add_argument("--warmup", type=int, default=300)
     ap.add_argument("--samples", type=int, default=500)
@@ -202,6 +207,33 @@ def main(argv=None):
             "posterior_means": {
                 k: jnp.mean(v, axis=0).tolist()
                 for k, v in result.particles.items()
+            },
+        }
+
+    elif args.algorithm == "pathfinder":
+        from binf_tpu.vi import pathfinder
+
+        logdensity = transform_logdensity(
+            lambda p: posterior.log_prob(p), transforms
+        )
+        seeds = _unconstrain_batch(
+            transforms, init_fn(min(args.chains, 8), key=k_init)
+        )
+        fit = jax.jit(
+            lambda k: pathfinder(logdensity, seeds, k, num_draws=1000)
+        )(k_run)
+        jax.block_until_ready(fit.samples)
+        elapsed = time.perf_counter() - t0
+        from binf_tpu.pdf.transforms import constrain
+
+        draws = jax.vmap(lambda p: constrain(transforms, p))(fit.samples)
+        out = {
+            "model": args.model, "algorithm": "pathfinder",
+            "best_elbo": float(jnp.max(fit.elbo)),
+            "pareto_k": round(float(fit.pareto_k), 3),
+            "elapsed_sec": round(elapsed, 3),
+            "posterior_means": {
+                k: jnp.mean(v, axis=0).tolist() for k, v in draws.items()
             },
         }
 
@@ -286,8 +318,9 @@ def main(argv=None):
         logdensity = transform_logdensity(
             lambda p: posterior.log_prob(p), transforms
         )
-        positions = init_fn(args.chains, key=k_init)
-        u_positions = _unconstrain_batch(transforms, positions)
+        u_positions = _init_positions(
+            args, logdensity, init_fn, transforms, args.chains, k_init
+        )
         result = fused_model_hmc(
             logdensity, u_positions, k_run,
             num_warmup=args.warmup, num_samples=args.samples,
@@ -337,8 +370,9 @@ def main(argv=None):
         if args.algorithm == "chees":
             from binf_tpu.samplers.chees import chees_adaptation, chees_hmc
 
-            positions = init_fn(args.chains, key=k_init)
-            u_positions = _unconstrain_batch(transforms, positions)
+            u_positions = _init_positions(
+                args, logdensity, init_fn, transforms, args.chains, k_init
+            )
             adapt = jax.jit(
                 lambda k: chees_adaptation(
                     logdensity, u_positions, k, num_steps=args.warmup,
@@ -354,8 +388,9 @@ def main(argv=None):
         elif args.algorithm == "hmc" and args.metric == "dense":
             from binf_tpu.samplers.dense import dense_hmc, dense_window_adaptation
 
-            positions = init_fn(args.chains, key=k_init)
-            u_positions = _unconstrain_batch(transforms, positions)
+            u_positions = _init_positions(
+                args, logdensity, init_fn, transforms, args.chains, k_init
+            )
             template = jax.tree.map(lambda x: x[0], u_positions)
             adapt = jax.jit(
                 lambda k: dense_window_adaptation(
@@ -387,8 +422,9 @@ def main(argv=None):
                     return mala(logdensity, step_size)
                 return rwm(logdensity, step_size)
 
-            positions = init_fn(args.chains, key=k_init)
-            u_positions = _unconstrain_batch(transforms, positions)
+            u_positions = _init_positions(
+                args, logdensity, init_fn, transforms, args.chains, k_init
+            )
             samples, _, adapt = warmup_and_run(
                 builder, u_positions, k_run,
                 num_warmup=args.warmup, num_samples=args.samples,
@@ -406,6 +442,23 @@ def main(argv=None):
         with open(args.summary_out, "w") as f:
             f.write(line)
     return out
+
+
+def _init_positions(args, logdensity, init_fn, transforms, n, key):
+    """Unconstrained starting positions: the model's init_fn, or (with
+    --init pathfinder) draws from a pathfinder fit seeded by a few
+    overdispersed init_fn points."""
+    import jax
+
+    u = _unconstrain_batch(transforms, init_fn(n, key=key))
+    if args.init != "pathfinder":
+        return u
+    from binf_tpu.vi import pathfinder_init
+
+    seeds = jax.tree.map(lambda x: x[: min(n, 8)], u)
+    return pathfinder_init(
+        logdensity, seeds, jax.random.fold_in(key, 7), n_chains=n
+    )
 
 
 def _unconstrain_batch(transforms, positions):

@@ -88,7 +88,7 @@ def _fit_pareto_k(x: Array) -> Array:
     """Tail-shape estimate for the largest 20% of raw weights (Zhang &
     Stephens style moment fit; adequate as a diagnostic)."""
     m = x.shape[0]
-    tail = jnp.sort(x)[-jnp.maximum(m // 5, 5):]
+    tail = jnp.sort(x)[-max(m // 5, 5):]  # static bound (jit-safe)
     mu = tail[0]
     exc = tail - mu + 1e-12
     # method-of-moments for generalized Pareto shape

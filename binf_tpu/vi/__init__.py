@@ -1,3 +1,8 @@
+from binf_tpu.vi.pathfinder import (
+    PathfinderResult,
+    pathfinder,
+    pathfinder_init,
+)
 from binf_tpu.vi.svgd import SVGDResult, svgd
 from binf_tpu.vi.laplace import (
     LaplaceResult,
@@ -14,6 +19,9 @@ from binf_tpu.vi.advi import (
 )
 
 __all__ = [
+    "PathfinderResult",
+    "pathfinder",
+    "pathfinder_init",
     "SVGDResult",
     "svgd",
     "LaplaceResult",

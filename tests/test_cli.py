@@ -153,3 +153,19 @@ def test_cli_fused_dense_warmup():
     assert out["accept_rate"] > 0.5
     means = out["summary"]["coefficients"]["mean"]
     assert abs(means[1] + 4.0) < 0.8
+
+
+def test_cli_pathfinder():
+    out = main(["--model", "polynomial", "--algorithm", "pathfinder",
+                "--chains", "8"])
+    assert out["pareto_k"] < 0.7
+    assert abs(out["posterior_means"]["coefficients"][1] + 4.0) < 1.0
+
+
+def test_cli_pathfinder_init():
+    """--init pathfinder: a short warmup suffices from typical-set starts."""
+    out = main(["--model", "polynomial", "--algorithm", "hmc",
+                "--init", "pathfinder", "--chains", "64",
+                "--warmup", "100", "--samples", "200"])
+    means = out["summary"]["coefficients"]["mean"]
+    assert abs(means[1] + 4.0) < 0.8
