@@ -31,7 +31,7 @@ from binf_tpu.samplers.dense import (
     dense_hmc,
     dense_window_adaptation,
 )
-from binf_tpu.samplers.hmc import HMCInfo, HMCState, hmc
+from binf_tpu.samplers.hmc import DenseMetric, HMCInfo, HMCState, hmc
 from binf_tpu.samplers.mala import MALAInfo, MALAState, mala
 from binf_tpu.samplers.nuts import NUTSInfo, NUTSState, nuts
 from binf_tpu.samplers.quadratic_hmc import QuadraticHMCState, quadratic_hmc
@@ -98,5 +98,6 @@ __all__ = [
     "DenseAdaptationResult",
     "DenseHMCState",
     "dense_hmc",
+    "DenseMetric",
     "dense_window_adaptation",
 ]

@@ -43,7 +43,8 @@ from binf_tpu.samplers.adaptation import (
     welford_batch_update,
 )
 from binf_tpu.ops.math import welford_init, welford_variance
-from binf_tpu.samplers.hmc import kinetic_energy, sample_momentum
+from binf_tpu.samplers.hmc import (kinetic_energy, metric_velocity,
+                                   sample_momentum)
 
 Array = jax.Array
 
@@ -68,10 +69,7 @@ def leapfrog_dynamic(
 ):
     """Leapfrog with a traced step count; returns (q, p, ld, grad)."""
 
-    def velocity(p):
-        if inverse_mass is None:
-            return p
-        return jax.tree.map(lambda pi, mi: pi * mi, p, inverse_mass)
+    velocity = lambda p: metric_velocity(p, inverse_mass)
 
     momentum = tree_axpy(0.5 * step_size, grad, momentum)
 
@@ -103,10 +101,7 @@ def _dynamic_hmc_step(value_and_grad_fn, inverse_mass):
     """One HMC transition with traced (eps, L); returns rich output for the
     ChEES gradient."""
 
-    def velocity(p):
-        if inverse_mass is None:
-            return p
-        return jax.tree.map(lambda pi, mi: pi * mi, p, inverse_mass)
+    velocity = lambda p: metric_velocity(p, inverse_mass)
 
     def step(key, position, logdensity, grad, eps, n_steps):
         key_mom, key_acc = jax.random.split(key)

@@ -31,7 +31,10 @@ from binf_tpu.samplers.base import LogDensityFn, Position, SamplerKernel
 
 Array = jax.Array
 
-__all__ = ["HMCState", "HMCInfo", "hmc", "leapfrog", "sample_momentum", "kinetic_energy"]
+__all__ = [
+    "HMCState", "HMCInfo", "hmc", "leapfrog", "sample_momentum",
+    "kinetic_energy", "metric_velocity", "DenseMetric",
+]
 
 DIVERGENCE_THRESHOLD = 1000.0
 
@@ -53,8 +56,44 @@ class HMCInfo(NamedTuple):
     proposal_logdensity: Array
 
 
+class DenseMetric:
+    """Full (D, D) inverse mass matrix over a position-dict template.
+
+    Wraps the matrix with the pack/unpack closures that map position
+    pytrees to the flat sorted-name order (``samplers.dense.flatten_spec``),
+    so the SAME ``inverse_mass`` argument of :func:`hmc`,
+    :func:`~binf_tpu.samplers.nuts.nuts`, and
+    :func:`~binf_tpu.samplers.chees.chees_hmc` accepts either a diagonal
+    pytree or a dense metric.  All metric operations are (D, D) matmuls
+    (MXU): momentum sampling ``p = W z`` with ``W W^T = M``, velocity
+    ``M^{-1} p``, and the quadratic kinetic form.  Build the matrix with
+    ``samplers.dense.dense_window_adaptation``.
+    """
+
+    def __init__(self, matrix: Array, template: Position):
+        from binf_tpu.samplers.dense import _metric_ops, flatten_spec
+
+        self.pack, self.unpack, self.dim = flatten_spec(template)
+        self.matrix = jnp.asarray(matrix, jnp.float32)
+        self.sampling_factor = _metric_ops(self.matrix)  # W: W W^T = M
+
+    def velocity(self, momentum: Position) -> Position:
+        return self.unpack(self.matrix @ self.pack(momentum))
+
+    def kinetic(self, momentum: Position) -> Array:
+        p = self.pack(momentum)
+        return 0.5 * p @ (self.matrix @ p)
+
+    def sample(self, key: Array) -> Position:
+        z = jax.random.normal(key, (self.dim,), jnp.float32)
+        return self.unpack(self.sampling_factor @ z)
+
+
 def sample_momentum(key: Array, position: Position, inverse_mass: Any) -> Position:
-    """p ~ N(0, M) with M given by its inverse (pytree diagonal)."""
+    """p ~ N(0, M) with M given by its inverse (pytree diagonal, or a
+    :class:`DenseMetric`)."""
+    if isinstance(inverse_mass, DenseMetric):
+        return inverse_mass.sample(key)
     eps = tree_normal_like(key, position)
     if inverse_mass is None:
         return eps
@@ -62,11 +101,22 @@ def sample_momentum(key: Array, position: Position, inverse_mass: Any) -> Positi
 
 
 def kinetic_energy(momentum: Position, inverse_mass: Any) -> Array:
-    """0.5 p^T M^{-1} p for diagonal M^{-1} pytrees."""
+    """0.5 p^T M^{-1} p (diagonal pytree or :class:`DenseMetric`)."""
+    if isinstance(inverse_mass, DenseMetric):
+        return inverse_mass.kinetic(momentum)
     if inverse_mass is None:
         return 0.5 * tree_dot(momentum, momentum)
     weighted = jax.tree.map(lambda p, mi: p * mi, momentum, inverse_mass)
     return 0.5 * tree_dot(momentum, weighted)
+
+
+def metric_velocity(momentum: Position, inverse_mass: Any) -> Position:
+    """dq/dt = M^{-1} p (diagonal pytree or :class:`DenseMetric`)."""
+    if isinstance(inverse_mass, DenseMetric):
+        return inverse_mass.velocity(momentum)
+    if inverse_mass is None:
+        return momentum
+    return jax.tree.map(lambda pi, mi: pi * mi, momentum, inverse_mass)
 
 
 def leapfrog(
@@ -87,10 +137,7 @@ def leapfrog(
     Returns (position, momentum, logdensity, grad) at trajectory end.
     """
 
-    def velocity(p):
-        if inverse_mass is None:
-            return p
-        return jax.tree.map(lambda pi, mi: pi * mi, p, inverse_mass)
+    velocity = lambda p: metric_velocity(p, inverse_mass)
 
     # initial half kick: p += eps/2 * grad(logdensity)
     momentum = tree_axpy(0.5 * step_size, grad, momentum)

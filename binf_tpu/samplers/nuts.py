@@ -30,7 +30,8 @@ from jax import lax
 
 from binf_tpu.ops.tree import tree_axpy, tree_dot, tree_where
 from binf_tpu.samplers.base import LogDensityFn, Position, SamplerKernel
-from binf_tpu.samplers.hmc import kinetic_energy, sample_momentum
+from binf_tpu.samplers.hmc import (kinetic_energy, metric_velocity,
+                                   sample_momentum)
 
 Array = jax.Array
 
@@ -69,10 +70,7 @@ def nuts(
     value_and_grad_fn = jax.value_and_grad(logdensity_fn)
     D = max_doublings
 
-    def velocity(p):
-        if inverse_mass is None:
-            return p
-        return jax.tree.map(lambda pi, mi: pi * mi, p, inverse_mass)
+    velocity = lambda p: metric_velocity(p, inverse_mass)
 
     def leapfrog_step(q, p, g, eps):
         p = tree_axpy(0.5 * eps, g, p)

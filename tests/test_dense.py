@@ -148,3 +148,30 @@ def test_dense_beats_diagonal_on_correlated_target():
     # with rho=0.97 the diagonal metric leaves a ~60:1 condition number;
     # dense should win by a wide margin -- require 2x to stay flake-proof
     assert ess_d > 2.0 * ess_g, (ess_d, ess_g)
+
+
+def test_nuts_with_dense_metric():
+    """DenseMetric plugs into NUTS through the shared metric helpers."""
+    from binf_tpu.samplers.hmc import DenseMetric
+    from binf_tpu.samplers.nuts import nuts
+
+    logdensity, mu, S = _correlated_gaussian(d=4, rho=0.9, seed=5)
+    n = 128
+    pos = {"x": 0.3 * jax.random.normal(jax.random.key(0), (n, 4))}
+    template = jax.tree.map(lambda x: x[0], pos)
+
+    adapt = jax.jit(
+        lambda k: dense_window_adaptation(
+            logdensity, pos, k, num_steps=400, num_integration_steps=8,
+        )
+    )(jax.random.key(1))
+    metric = DenseMetric(adapt.inverse_mass_matrix, template)
+    kernel = nuts(logdensity, step_size=adapt.step_size, max_doublings=6,
+                  inverse_mass=metric)
+    states = init_chains(kernel, adapt.final_positions)
+    _, samples = jax.jit(lambda s, k: run_chains(kernel, k, s, 300))(
+        states, jax.random.key(2)
+    )
+    X = np.asarray(samples["x"][75:]).reshape(-1, 4)
+    np.testing.assert_allclose(X.mean(0), mu, atol=0.25)
+    np.testing.assert_allclose(X.std(0), np.sqrt(np.diag(S)), rtol=0.25)
