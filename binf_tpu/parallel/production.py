@@ -327,8 +327,30 @@ def run_fused_blocks(
             )(seed_w, q0, consts)
 
         q0, eps, im = warm(initial_positions, k_warm)  # im: (C, D) per-chain
+    elif warmup == "dense":
+        # full-covariance metric: XLA dense adaptation once, then every
+        # block's fused kernel integrates with (D_pad, D_pad) matmuls
+        from binf_tpu.samplers.dense import dense_window_adaptation
+
+        @jax.jit
+        def warm(positions, k):
+            a = dense_window_adaptation(
+                logdensity_fn, positions, k, num_steps=num_warmup,
+                num_integration_steps=num_leapfrog,
+                initial_step_size=(
+                    0.1 if initial_step_size is None else initial_step_size
+                ),
+            )
+            q0 = pack_positions(a.final_positions, spec)
+            eps = jnp.broadcast_to(
+                jnp.asarray(a.step_size, jnp.float32).reshape(-1), (C,)
+            )
+            return q0, eps, a.inverse_mass_matrix
+
+        q0, eps, im = warm(initial_positions, k_warm)  # im: (D, D) dense
+        run_kwargs["dense_mass"] = True
     elif warmup != "xla":
-        raise ValueError(f"unknown {warmup=}; use 'xla' or 'fused'")
+        raise ValueError(f"unknown {warmup=}; use 'xla', 'dense', or 'fused'")
     else:
         def builder(step_size, inverse_mass):
             return hmc(logdensity_fn, step_size, num_leapfrog, inverse_mass)
@@ -385,7 +407,9 @@ def run_fused_blocks(
             step_size=jax.device_put(carry.step_size, chain_sh),
             inverse_mass=jax.device_put(
                 carry.inverse_mass,
-                chain2_sh if carry.inverse_mass.ndim == 2 else rep_sh,
+                chain2_sh
+                if (carry.inverse_mass.ndim == 2 and warmup != "dense")
+                else rep_sh,
             ),
         )
     if resume and checkpoint_path is not None:
@@ -410,7 +434,9 @@ def run_fused_blocks(
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        im_spec = P("chain", None) if carry.inverse_mass.ndim == 2 else P()
+        im_spec = (P("chain", None)
+                   if (carry.inverse_mass.ndim == 2 and warmup != "dense")
+                   else P())
         _sharded_cache = {}
 
         def _make_sharded(collect_mode):

@@ -191,3 +191,33 @@ def test_fused_blocks_fused_warmup(key):
     assert res.carry.inverse_mass.shape == (32, 3)
     assert abs(float(res.mean["x"].mean()) - 2.0) < 0.3
     assert 0.5 < res.accept_rate <= 1.0
+
+
+def test_fused_blocks_dense_warmup(tmp_path, key):
+    """warmup='dense': block-driven fused runs under a full-covariance
+    metric, with the bitwise resume contract intact."""
+    from binf_tpu.parallel.production import run_fused_blocks
+
+    path = str(tmp_path / "fused_dense_ckpt")
+    kwargs = dict(
+        num_steps=300, block_size=100, num_warmup=150,
+        block_chains=16, num_leapfrog=5, warmup="dense",
+    )
+    res_full = run_fused_blocks(
+        logp, _fused_positions(16), key,
+        checkpoint_path=path, checkpoint_every_blocks=1, **kwargs,
+    )
+    assert res_full.carry.inverse_mass.shape == (3, 3)  # dense (D, D)
+    assert 0.5 < float(res_full.accept_rate) <= 1.0
+    # moments should match the (independent-Gaussian-ish) target scales
+    std = np.sqrt(np.asarray(res_full.variance["y"])).mean(axis=0)
+    assert std.shape == (2,)
+
+    res_resumed = run_fused_blocks(
+        logp, _fused_positions(16), key,
+        checkpoint_path=path, resume=True, **kwargs,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_full.carry.positions),
+        np.asarray(res_resumed.carry.positions),
+    )
