@@ -291,10 +291,14 @@ def dense_window_adaptation(
         wf_mean = jnp.where(is_slow, mean_u, wf_mean)
         wf_m2 = jnp.where(is_slow, m2_u, wf_m2)
 
-        # boundary: harvest the metric, refresh W, reset accumulator + DA
-        harvested = _harvest_cov(wf_n, wf_m2)
-        minv = jnp.where(is_reset, harvested, minv)
-        W = jnp.where(is_reset, _metric_ops(harvested), W)
+        # boundary: harvest the metric, refresh W, reset accumulator + DA.
+        # Under lax.cond so the O(D^3) Cholesky + triangular solve run only
+        # on the handful of window-boundary steps, not every scan step.
+        def _refresh_metric():
+            harvested = _harvest_cov(wf_n, wf_m2)
+            return harvested, _metric_ops(harvested)
+
+        minv, W = jax.lax.cond(is_reset, _refresh_metric, lambda: (minv, W))
         wf_n = jnp.where(is_reset, 0.0, wf_n)
         wf_mean = jnp.where(is_reset, jnp.zeros(d), wf_mean)
         wf_m2 = jnp.where(is_reset, jnp.zeros((d, d)), wf_m2)

@@ -57,7 +57,12 @@ class PathfinderResult(NamedTuple):
 def _bfgs_inverse_hessian(S, Y, valid, gamma, jitter=1e-6):
     """Dense inverse Hessian from a (J, D) history of update/gradient-diff
     pairs: H0 = gamma I, then for each valid pair (oldest first)
-    H <- (I - rho s y^T) H (I - rho y s^T) + rho s s^T."""
+    H <- (I - rho s y^T) H (I - rho y s^T) + rho s s^T.
+
+    Callers must pass the pairs in CHRONOLOGICAL order (oldest first) --
+    the BFGS recursion weights recent curvature pairs most strongly, so
+    applying a wrapped circular buffer in slot order would invert the
+    recency weighting (see ``_single_path``'s gather)."""
     d = S.shape[1]
 
     def update(H, syv):
@@ -102,7 +107,7 @@ def _single_path(
     value_and_grad = optax.value_and_grad_from_state(neg_logdensity_flat)
 
     def opt_step(carry, k_l):
-        params, opt_state, S, Y, valid, prev_theta, prev_grad, t = carry
+        params, opt_state, S, Y, valid, t = carry
         value, grad = value_and_grad(params, state=opt_state)
         updates, opt_state = opt.update(
             grad, opt_state, params, value=value, grad=grad,
@@ -123,7 +128,11 @@ def _single_path(
         gamma = jnp.where(
             ok, (s @ y) / jnp.maximum(y @ y, 1e-12), jnp.ones(())
         )
-        H = _bfgs_inverse_hessian(S, Y, valid, gamma)
+        # gather the circular buffer into chronological order: after writing
+        # slot t % history, the oldest surviving pair sits at (t+1) % history
+        # (for t < history the leading slots are invalid and skipped anyway)
+        idx = (t + 1 + jnp.arange(history)) % history
+        H = _bfgs_inverse_hessian(S[idx], Y[idx], valid[idx], gamma)
         chol = jnp.linalg.cholesky(H)
 
         # MC ELBO of N(new_params, H)
@@ -139,16 +148,13 @@ def _single_path(
         elbo = jnp.where(
             jnp.isfinite(elbo) & jnp.all(jnp.isfinite(chol)), elbo, -jnp.inf
         )
-        new_carry = (new_params, opt_state, S, Y, valid, params, grad, t + 1)
+        new_carry = (new_params, opt_state, S, Y, valid, t + 1)
         return new_carry, (new_params, chol, elbo)
 
     S0 = jnp.zeros((history, d))
     Y0 = jnp.zeros((history, d))
     valid0 = jnp.zeros((history,), bool)
-    carry0 = (
-        theta0, opt.init(theta0), S0, Y0, valid0, theta0,
-        jnp.zeros_like(theta0), jnp.int32(0),
-    )
+    carry0 = (theta0, opt.init(theta0), S0, Y0, valid0, jnp.int32(0))
     keys = jax.random.split(key, max_iters)
     _, (mus, chols, elbos) = jax.lax.scan(opt_step, carry0, keys)
 
@@ -171,8 +177,11 @@ def pathfinder(
     ``initial_positions`` is chain-batched: each row seeds one path
     (typically 4-16 overdispersed points).  ``logdensity_fn`` takes an
     UNBATCHED position dict in unconstrained space.  Draws are pooled
-    with truncated importance resampling against the path mixture
-    (Vehtari et al.'s S^{3/4} truncation rule).
+    with truncated importance resampling against the path mixture.  The
+    truncation bound is S^{3/4} * mean(w) -- a DELIBERATELY looser bound
+    than standard TIS (Ionides 2008 truncates at sqrt(S) * mean(w)),
+    trading a little variance for less bias; the ``pareto_k`` field
+    reports the untruncated tail shape so callers can judge reliability.
     """
     template = jax.tree.map(lambda x: x[0], initial_positions)
     pack, unpack, d = flatten_spec(template)
@@ -218,9 +227,16 @@ def pathfinder(
 
     pareto_k = _fit_pareto_k(w)
 
-    idx = jax.random.choice(
-        k_res, s, (num_draws,), p=w_t / jnp.sum(w_t), replace=True
-    )
+    # degenerate guard: if every draw got weight 0 (all paths non-finite),
+    # fall back to uniform resampling rather than feeding NaN probabilities
+    # to random.choice; pareto_k is forced to +inf so callers can detect it
+    total = jnp.sum(w_t)
+    degenerate = ~jnp.isfinite(total) | (total <= 0.0)
+    p = jnp.where(degenerate, jnp.ones_like(w_t) / s, w_t / jnp.where(
+        degenerate, 1.0, total))
+    pareto_k = jnp.where(degenerate, jnp.inf, pareto_k)
+
+    idx = jax.random.choice(k_res, s, (num_draws,), p=p, replace=True)
     draws = xs[idx]
     return PathfinderResult(
         samples=unpack(draws),

@@ -62,6 +62,57 @@ def test_pathfinder_multimodal_paths_disagree_gracefully():
     assert np.quantile(dist, 0.9) < 2.0
 
 
+def test_bfgs_secant_condition_newest_pair():
+    """BFGS guarantees H y = s exactly for the LAST applied pair, so a
+    chronologically-ordered history must satisfy the secant condition for
+    the newest pair (regression: the circular buffer used to be applied in
+    slot order, inverting recency once the path wrapped)."""
+    from binf_tpu.vi.pathfinder import _bfgs_inverse_hessian
+
+    rng = np.random.default_rng(0)
+    d, j = 6, 4
+    A = rng.normal(size=(d, d))
+    A = A @ A.T + d * np.eye(d)  # SPD Hessian of a quadratic
+    S = jnp.asarray(rng.normal(size=(j, d)), jnp.float32)
+    Y = S @ jnp.asarray(A, jnp.float32)  # y = A s for a quadratic
+    valid = jnp.ones((j,), bool)
+
+    H = _bfgs_inverse_hessian(S, Y, valid, jnp.float32(1.0), jitter=0.0)
+    np.testing.assert_allclose(H @ Y[-1], S[-1], rtol=1e-4, atol=1e-4)
+    # and NOT (generically) for the oldest pair -- order matters
+    assert not np.allclose(H @ Y[0], S[0], rtol=1e-3, atol=1e-3)
+
+
+def test_pathfinder_wrapped_history_still_recovers():
+    """A path longer than the history buffer (t >= history wraps the
+    circular buffer) must still recover the target covariance."""
+    logdensity, mu, S = _correlated_gaussian()
+    init = {"x": 4.0 * jax.random.normal(jax.random.key(5), (4, 5))}
+    fit = pathfinder(
+        logdensity, init, jax.random.key(6), num_draws=2000,
+        max_iters=25, history=3,
+    )
+    X = np.asarray(fit.samples["x"])
+    np.testing.assert_allclose(X.mean(0), mu, atol=0.3)
+    np.testing.assert_allclose(X.std(0), np.sqrt(np.diag(S)), rtol=0.35)
+
+
+def test_pathfinder_degenerate_weights_fallback():
+    """If every path fails (non-finite density), resampling must not feed
+    NaN probabilities to random.choice; failure is surfaced as
+    pareto_k = inf instead of garbage indices."""
+
+    def bad_logdensity(pos):
+        return jnp.nan * jnp.sum(pos["x"])
+
+    init = {"x": jax.random.normal(jax.random.key(0), (4, 3))}
+    fit = pathfinder(bad_logdensity, init, jax.random.key(1),
+                     num_draws=64, max_iters=5)
+    assert bool(jnp.isinf(fit.pareto_k))
+    assert not bool(jnp.any(jnp.isfinite(fit.elbo)))
+    assert fit.samples["x"].shape == (64, 3)
+
+
 @pytest.mark.slow
 def test_pathfinder_init_accelerates_polynomial_hmc():
     """pathfinder_init on the reference posterior: starting positions land
