@@ -55,7 +55,7 @@ def timeit_blocked(fn, *args, iters=5):
 
 def bench_family(
     name: str, n_chains: int, num_steps: int, num_leapfrog: int,
-    block_chains: int = 512,
+    block_chains: int | None = None,
 ):
     from binf_tpu.cli import _unconstrain_batch, build_model
     from binf_tpu.ops.pallas.fused_potential import (
@@ -67,6 +67,7 @@ def bench_family(
     )
     from binf_tpu.parallel.runner import init_chains, run_chains
     from binf_tpu.pdf.transforms import transform_logdensity
+    from binf_tpu.samplers.auto import route_algorithm
     from binf_tpu.samplers.hmc import hmc
 
     key = jax.random.key(0)
@@ -79,6 +80,14 @@ def bench_family(
     positions = _unconstrain_batch(
         transforms, init_fn(n_chains, key=jax.random.key(1))
     )
+
+    # framework-default routing (samplers/auto.py): which path would
+    # `--algorithm auto` run here, and at which chain tile?  The fused
+    # timing below uses the router's tile unless BENCH_MODEL_BC overrides,
+    # so default_vs_best measures what the default actually executes.
+    decision = route_algorithm(logdensity, positions)
+    if block_chains is None:
+        block_chains = decision.block_chains or 512
 
     template = jax.tree.map(lambda x: x[0], positions)
     potential, consts, spec = tile_potential_from_scalar(logdensity, template)
@@ -148,12 +157,19 @@ def bench_family(
     t_xla, (xpos, _, xacc) = timeit(xla, states, jax.random.key(9))
     t_xla_blk = timeit_blocked(xla, states, jax.random.key(9))
 
+    # default_vs_best = t(best of both) / t(routed path): 1.0 means the
+    # router chose the winner; < 1.0 quantifies a routing loss.
+    t_default = t_fused if decision.path == "fused" else t_xla
+    t_best = min(t_fused, t_xla)
+
     rec = {
         "family": name,
         "chains": n_chains,
         "steps": num_steps,
         "L": num_leapfrog,
         "D": D,
+        "routed": decision.path,
+        "default_vs_best": round(t_best / t_default, 2),
         "fused_ms": round(t_fused * 1e3, 2),
         "xla_ms": round(t_xla * 1e3, 2),
         "speedup": round(t_xla / t_fused, 2),
@@ -183,7 +199,7 @@ if __name__ == "__main__":
     on_cpu = jax.default_backend() == "cpu"
     chains = int(os.environ.get("BENCH_MODEL_CHAINS", 64 if on_cpu else 8192))
     steps = int(os.environ.get("BENCH_MODEL_STEPS", 50 if on_cpu else 500))
-    bc = int(os.environ.get("BENCH_MODEL_BC", 512))
+    bc_env = os.environ.get("BENCH_MODEL_BC")
     for fam in families:
         bench_family(fam, n_chains=chains, num_steps=steps, num_leapfrog=10,
-                     block_chains=bc)
+                     block_chains=int(bc_env) if bc_env else None)

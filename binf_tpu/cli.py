@@ -120,9 +120,14 @@ def build_model(name: str, key):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="binf_tpu")
     ap.add_argument("--model", default="polynomial")
-    ap.add_argument("--algorithm", default="hmc",
-                    choices=["hmc", "nuts", "chees", "rwm", "mala", "gibbs", "smc",
-                             "advi", "laplace", "svgd", "fused", "pathfinder"])
+    ap.add_argument("--algorithm", default="auto",
+                    choices=["auto", "hmc", "nuts", "chees", "rwm", "mala",
+                             "gibbs", "smc", "advi", "laplace", "svgd",
+                             "fused", "pathfinder"],
+                    help="'auto' (default) routes adaptive HMC to the "
+                         "measured winner (fused Pallas kernel vs XLA "
+                         "scan) for this model/shape -- see "
+                         "samplers/auto.py and docs/performance.md")
     ap.add_argument("--init", default="default",
                     choices=["default", "pathfinder"],
                     help="chain initialization: the model's init_fn, or "
@@ -309,31 +314,48 @@ def main(argv=None):
         elapsed = time.perf_counter() - t0
         out = _summarize(args, samples, elapsed, burn=args.samples // 4)
 
-    elif args.algorithm == "fused":
-        # whole-run fused HMC kernel (general path): works for ANY model --
-        # the log density is compiled into the kernel via
-        # tile_potential_from_scalar
-        from binf_tpu.samplers.fused import fused_model_hmc
-
+    elif args.algorithm in ("fused", "auto"):
+        # whole-run fused HMC kernel (general path, works for ANY model via
+        # tile_potential_from_scalar), or 'auto': route this model/shape to
+        # the measured winner -- fused kernel vs XLA scan (samplers/auto.py)
         logdensity = transform_logdensity(
             lambda p: posterior.log_prob(p), transforms
         )
         u_positions = _init_positions(
             args, logdensity, init_fn, transforms, args.chains, k_init
         )
-        result = fused_model_hmc(
-            logdensity, u_positions, k_run,
-            num_warmup=args.warmup, num_samples=args.samples,
-            initial_step_size=None if args.auto_step_size else args.step_size,
-            block_chains=(args.block_chains if args.block_chains == "auto"
-                          else int(args.block_chains)),
-            per_chain_step_size=args.per_chain_step,
-            thin=args.thin,
-            mesh=mesh,
-            trajectory=args.trajectory,
-            warmup=args.warmup_mode,
-            collect=args.collect,
-        )
+        decision = None
+        if args.algorithm == "auto":
+            from binf_tpu.samplers.auto import adaptive_hmc
+
+            result, decision = adaptive_hmc(
+                logdensity, u_positions, k_run,
+                num_warmup=args.warmup, num_samples=args.samples,
+                initial_step_size=(
+                    None if args.auto_step_size else args.step_size
+                ),
+                thin=args.thin,
+                mesh=mesh,
+                collect=args.collect,
+            )
+        else:
+            from binf_tpu.samplers.fused import fused_model_hmc
+
+            result = fused_model_hmc(
+                logdensity, u_positions, k_run,
+                num_warmup=args.warmup, num_samples=args.samples,
+                initial_step_size=(
+                    None if args.auto_step_size else args.step_size
+                ),
+                block_chains=(args.block_chains if args.block_chains == "auto"
+                              else int(args.block_chains)),
+                per_chain_step_size=args.per_chain_step,
+                thin=args.thin,
+                mesh=mesh,
+                trajectory=args.trajectory,
+                warmup=args.warmup_mode,
+                collect=args.collect,
+            )
         elapsed = None
         if args.collect == "moments":
             jax.block_until_ready(result.mean)
@@ -341,7 +363,7 @@ def main(argv=None):
             # in-kernel streaming moments: no draws to summarize; moments
             # are in UNCONSTRAINED space (apply transforms downstream)
             out = {
-                "model": args.model, "algorithm": "fused",
+                "model": args.model, "algorithm": args.algorithm,
                 "chains": args.chains, "draws": args.samples * args.chains,
                 "space": "unconstrained",
                 "elapsed_sec": round(elapsed, 3),
@@ -361,6 +383,9 @@ def main(argv=None):
             out = _summarize(args, samples, elapsed,
                              burn=(args.samples // args.thin) // 4)
         out["accept_rate"] = round(float(result.accept_rate), 4)
+        if decision is not None:
+            out["routed_to"] = decision.path
+            out["routing_reason"] = decision.reason
 
     else:  # gradient samplers via adaptive warmup
         logdensity = transform_logdensity(

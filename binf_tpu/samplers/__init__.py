@@ -1,3 +1,4 @@
+from binf_tpu.samplers.auto import RoutingDecision, adaptive_hmc, route_algorithm
 from binf_tpu.samplers.adaptation import (
     DualAveragingState,
     dual_averaging_init,
@@ -47,6 +48,9 @@ from binf_tpu.samplers.slice import (
 from binf_tpu.samplers.tempering import PTInfo, PTState, geometric_betas, parallel_tempering
 
 __all__ = [
+    "RoutingDecision",
+    "adaptive_hmc",
+    "route_algorithm",
     "ChEESResult",
     "chees_adaptation",
     "chees_hmc",

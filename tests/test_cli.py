@@ -33,6 +33,29 @@ def test_cli_hmc_with_mesh():
     assert out["summary"]["precision"]["mean"] > 0
 
 
+def test_cli_default_auto_routes_and_reports():
+    """--algorithm auto is the default: the run reports which path the
+    cost model chose and recovers the reference posterior."""
+    out = main([
+        "--model", "polynomial",
+        "--chains", "64", "--warmup", "150", "--samples", "150",
+    ])
+    assert out["algorithm"] == "auto"
+    assert out["routed_to"] == "fused"  # 64 chains -> small-batch rule
+    assert "routing_reason" in out
+    means = out["summary"]["coefficients"]["mean"]
+    assert abs(means[1] + 4.0) < 0.8
+
+
+def test_cli_auto_routes_hierarchical_large_batch_to_xla():
+    out = main([
+        "--model", "hierarchical", "--algorithm", "auto",
+        "--chains", "4096", "--warmup", "30", "--samples", "30",
+    ])
+    assert out["routed_to"] == "xla"
+    assert out["accept_rate"] > 0.2
+
+
 def test_cli_smc():
     out = main([
         "--model", "polynomial", "--algorithm", "smc", "--chains", "512",
