@@ -278,6 +278,65 @@ def main():
 
     rate = m_ess / e2e
 
+    # -- general-kernel phase (same protocol, interpreter-compiled kernel) --
+    # The headline uses the hand-tiled linreg kernel; the framework's
+    # actual any-model capability is the general path
+    # (tile_potential_from_scalar -> fused_potential_hmc_run).  Score it at
+    # the IDENTICAL protocol so a regression there is visible even while
+    # the hand-tiled headline stays green (round-3 VERDICT item 6).
+    gen_rate = None
+    gen_ratio = None
+    if os.environ.get("BENCH_GENERAL", "1") == "1":
+        from binf_tpu.ops.pallas.fused_potential import fused_potential_hmc_run
+
+        @jax.jit
+        def full_run_general(q0, seed):
+            qw, eps_c, im_c = fused_warmup_run(
+                potential, q0, seed, 0.1, consts, num_warmup=N_WARMUP,
+                **kern_kwargs,
+            )
+            eps = jnp.mean(eps_c) * jnp.ones((q0.shape[0],), jnp.float32)
+            im = jnp.mean(im_c, axis=0)
+            r = fused_potential_hmc_run(
+                potential, qw, seed + 1, eps, im, consts,
+                num_steps=N_SAMPLES,
+                steps_per_block=min(50, N_SAMPLES),
+                **kern_kwargs,
+            )
+            return r.draws, r.accept_rate
+
+        try:
+            t0 = time.perf_counter()
+            gdraws, gacc = full_run_general(q_init, 1000)
+            jax.block_until_ready(gdraws)
+            _progress(
+                f"general kernel compiled + first run: "
+                f"{time.perf_counter() - t0:.1f}s cold"
+            )
+            g_times = []
+            for i in range(REPS):
+                t0 = time.perf_counter()
+                gdraws, gacc = full_run_general(q_init, 1000 + 2 * i + 2)
+                jax.block_until_ready(gdraws)
+                g_times.append(time.perf_counter() - t0)
+            g_e2e = float(np.mean(g_times))
+            g_ess = float(min_ess(gdraws))
+            gen_rate = g_ess / g_e2e
+            gen_ratio = gen_rate / rate
+            _progress(
+                f"general kernel ({REPS} scored runs): {g_e2e*1e3:.1f}ms/run, "
+                f"min_ess={g_ess:.3g}, {gen_rate:.3g} ESS/s = "
+                f"{gen_ratio:.2f}x the hand-tiled headline, "
+                f"accept={float(gacc):.2f}"
+            )
+            if gen_ratio < 0.9:
+                _progress(
+                    "WARNING: general kernel >10% behind the hand-tiled "
+                    "headline -- regression signal (docs/performance.md)"
+                )
+        except Exception as e:  # never let the diagnostic kill the score
+            _progress(f"general-kernel phase failed: {e!r}")
+
     rng = np.random.default_rng(0)
     base_rates = []
     for _ in range(BASELINE_REPS):
@@ -290,18 +349,19 @@ def main():
         f"(spread {min(base_rates):.1f}-{max(base_rates):.1f})"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "effective samples/sec/chip, polynomial posterior "
-                f"(adaptive HMC end-to-end incl. warmup, {N_CHAINS} chains)",
-                "value": round(rate, 1),
-                "unit": "ESS/s",
-                "vs_baseline": round(rate / base, 1),
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": "effective samples/sec/chip, polynomial posterior "
+        f"(adaptive HMC end-to-end incl. warmup, {N_CHAINS} chains)",
+        "value": round(rate, 1),
+        "unit": "ESS/s",
+        "vs_baseline": round(rate / base, 1),
+    }
+    if gen_rate is not None:
+        # the any-model general-kernel path at the identical protocol,
+        # recorded beside the hand-tiled headline as a regression signal
+        record["general_kernel_ess_per_sec"] = round(gen_rate, 1)
+        record["general_vs_handtiled"] = round(gen_ratio, 3)
+    print(json.dumps(record), flush=True)
     _progress(
         f"details: min_ess={m_ess:.0f} e2e={e2e*1e3:.1f}ms/run "
         f"(pipelined {pipelined*1e3:.1f}ms) cold_first_run={cold_s:.1f}s "

@@ -80,7 +80,12 @@ def build_model(name: str, key):
 
         n_beads = 64
         _, log_target, W = synthetic_restraints(key, n_beads, observe_frac=0.3)
-        post = make_chromatin_posterior(log_target, W)
+        # use_pallas=False: at 64 beads the (N, N) restraint field fits any
+        # memory budget, and the plain-XLA density is what the fused-kernel
+        # interpreter can lane-batch (--algorithm fused/auto).  The blockwise
+        # Pallas pairwise kernel pays off at N >= 2048
+        # (docs/performance.md) -- examples/run_chromatin.py keeps it.
+        post = make_chromatin_posterior(log_target, W, use_pallas=False)
 
         def init_fn(n_chains, key=None):
             k = key if key is not None else jax.random.key(0)

@@ -205,9 +205,11 @@ def _use_pallas(flag):
 
 
 def _fwd(X, logD, W, block, use_pallas, interpret):
-    X_t = _pack(X)
+    # pack only on the Pallas branch: the (8, N) scatter would otherwise
+    # appear (dead) in the XLA trace and block the fused-kernel
+    # lane-batching interpreter, which has no windowed-scatter rule
     if _use_pallas(use_pallas):
-        loss = _fwd_pallas(X_t, logD, W, block, interpret)
+        loss = _fwd_pallas(_pack(X), logD, W, block, interpret)
     else:
         loss = pairwise_restraint_loss_reference(X, logD, W)
     return loss, (X, logD, W)

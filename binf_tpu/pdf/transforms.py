@@ -123,6 +123,11 @@ def default_transforms(density) -> dict[str, Transform]:
     names get a log transform.  Override explicitly for anything else."""
     out: dict[str, Transform] = {}
     for name in density.variables:
+        if name.startswith("log_") or name.startswith("unconstrained_"):
+            # already in log/unconstrained space: a log transform here
+            # would take log of negative values (observed: NaN evidence in
+            # tempered SMC on the mixture model's ``log_sigma``)
+            continue
         if name in _POSITIVE_NAMES or any(name.endswith("_" + p) or name.startswith(p + "_") for p in _POSITIVE_NAMES):
             out[name] = LogTransform
     return out

@@ -152,3 +152,46 @@ class TestTemperedSMC:
         )(jax.random.key(4))
         assert float(result.final_beta) == 1.0
         assert np.isfinite(np.asarray(result.particles["coefficients"])).all()
+
+    def test_log_prefixed_variables_not_double_transformed(self):
+        """Regression: default_transforms used to match ``log_sigma``
+        against the positive-name heuristic (endswith ``_sigma``) and
+        apply a LogTransform to an already-log-space variable, producing
+        NaN evidence on the mixture posterior."""
+        from binf_tpu.example.mixture import (
+            make_mixture_posterior,
+            synthetic_mixture_data,
+        )
+        from binf_tpu.pdf.transforms import default_transforms
+
+        y = synthetic_mixture_data(jax.random.key(0))
+        post = make_mixture_posterior(y)
+        tr = default_transforms(post)
+        assert "log_sigma" not in tr
+        assert "log_weights" not in tr
+
+    @pytest.mark.slow
+    def test_mixture_smc_recovers_modes(self):
+        """Tempered SMC on the 3-component mixture: finite evidence and
+        sorted component means at the truth (needs >=20 mutation steps --
+        5 undermixes, measured)."""
+        from binf_tpu.example.mixture import (
+            TRUE_MEANS,
+            make_mixture_posterior,
+            synthetic_mixture_data,
+        )
+
+        y = synthetic_mixture_data(jax.random.key(0))
+        post = make_mixture_posterior(y)
+        result = jax.jit(
+            lambda k: tempered_smc(
+                post, k, num_particles=1024, mutation="hmc",
+                num_mutation_steps=20, max_stages=200,
+            )
+        )(jax.random.key(5))
+        assert np.isfinite(float(result.log_evidence))
+        assert float(result.final_beta) == 1.0
+        means = np.sort(
+            np.asarray(jnp.mean(jnp.sort(result.particles["means"], -1), 0))
+        )
+        np.testing.assert_allclose(means, TRUE_MEANS, atol=0.35)
