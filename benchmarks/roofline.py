@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Utilization accounting for the headline fused-HMC kernel.
+
+Round-3 VERDICT item 4: "VPU/transcendental-bound" was asserted, never
+measured.  This script makes the claim checkable in two parts:
+
+1. **Measured device ceilings** on THIS chip (not spec-sheet numbers):
+   - f32 VPU fused-multiply-add throughput (long dependency-free FMA
+     chain on (8, 128)-aligned tiles, one jit, no HBM traffic in the
+     loop);
+   - transcendental rate (exp chain, same structure);
+   - MXU f32 and bf16 matmul TFLOP/s (8k^3 matmul);
+   - HBM read bandwidth (sum over a GB-scale array).
+2. **Analytic op counts** for one leapfrog step of the headline linreg
+   kernel (D=5, 20 data points, the exact density in
+   ``ops/pallas/fused_hmc.py``), times the measured steps/s of the
+   scored bench protocol -> achieved FLOP/s and transcendentals/s,
+   reported as % of the measured ceilings.
+
+Prints one JSON line with the full table (docs/performance.md records
+the narrative).  The bf16 verdict experiment is part 3: measured VPU
+bf16-vs-f32 elementwise throughput and the draws-write HBM fraction
+(collect='moments' vs 'draws' at the headline shape) bound what bf16
+could buy the fused kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timeit(fn, *args, iters=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_vpu_fma(dtype=jnp.float32, n_inner=512, shape=(512, 1024)):
+    """Dependency-parallel FMA chain: 2 flops/element/iteration."""
+    x = jnp.ones(shape, dtype)
+
+    @jax.jit
+    def run(x):
+        def body(acc, _):
+            # 4 independent FMA streams to fill the VPU pipeline
+            a, b, c, d = acc
+            a = a * 1.000001 + 0.3
+            b = b * 0.999999 + 0.1
+            c = c * 1.000002 + 0.2
+            d = d * 0.999998 + 0.4
+            return (a, b, c, d), None
+
+        accs, _ = jax.lax.scan(body, (x, x + 1, x + 2, x + 3), None,
+                               length=n_inner)
+        return sum(accs)
+
+    t = _timeit(run, x)
+    flops = 4 * 2 * np.prod(shape) * n_inner  # 4 streams x fma(2)
+    return flops / t
+
+
+def measure_transcendental(n_inner=256, shape=(512, 1024)):
+    x = jnp.full(shape, 0.5, jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def body(acc, _):
+            a, b = acc
+            a = jnp.exp(a * 1e-6)
+            b = jnp.exp(b * -1e-6)
+            return (a, b), None
+
+        accs, _ = jax.lax.scan(body, (x, x + 0.1), None, length=n_inner)
+        return accs[0] + accs[1]
+
+    t = _timeit(run, x)
+    return 2 * np.prod(shape) * n_inner / t  # exp/s
+
+
+def measure_mxu(dtype, n=4096):
+    a = jnp.ones((n, n), dtype)
+    b = jnp.ones((n, n), dtype)
+
+    @jax.jit
+    def run(a, b):
+        return (a @ b @ a)[0, 0]
+
+    t = _timeit(run, a, b)
+    return 2 * 2 * n**3 / t
+
+
+def measure_hbm_read(gb=2.0):
+    n = int(gb * 1e9 / 4)
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        return jnp.sum(x)
+
+    t = _timeit(run, x)
+    return n * 4 / t  # bytes/s
+
+
+# -- analytic op counts: one leapfrog step of the linreg kernel --------------
+#
+# Density (ops/pallas/fused_hmc.py, linreg_unconstrained_logdensity):
+#   r = V c - y            : n*d MACs          = 2*n*d flops
+#   sse = r.r              : 2*n
+#   logp = -0.5 e^u sse + (n/2 + a) u - b e^u - 0.5 sum(c^2/pv) + mean term
+#                          : ~(3*d + 10) flops + 1 exp
+# value+grad (hand-written adjoint in-kernel):
+#   grad_c = -e^u V^T r - c/pv : 2*n*d + 2*d
+#   grad_u = -0.5 e^u sse + (n/2+a) - b e^u : ~8 (e^u shared)
+# per leapfrog: 1 grad eval + position/momentum axpys (4*d_pad)
+def linreg_step_costs(n_data=20, d=4, d_pad=8, num_leapfrog=10):
+    grad_flops = (2 * n_data * d) + (2 * n_data) + (3 * d + 10) \
+        + (2 * n_data * d + 2 * d) + 8
+    grad_transc = 1  # e^u shared across value+grad
+    axpy_flops = 4 * 2 * d_pad  # p half-kicks + q drift per leapfrog
+    per_leapfrog = grad_flops + axpy_flops
+    # per HMC step: L leapfrogs + 1 extra grad (initial) + momentum RNG
+    # (d_pad gaussians: ~12 int-ops each, counted separately) + MH (1 exp)
+    step_flops = num_leapfrog * per_leapfrog + grad_flops + 6 * d_pad
+    step_transc = (num_leapfrog + 1) * grad_transc + 1
+    return step_flops, step_transc
+
+
+def main():
+    from binf_tpu.io.cache import enable_persistent_cache
+    from binf_tpu.io.health import wait_for_device_health
+
+    enable_persistent_cache()
+    if jax.default_backend() != "cpu" and not wait_for_device_health():
+        sys.exit(1)
+    dev = jax.devices()[0].device_kind
+    print(f"# device: {dev}", file=sys.stderr, flush=True)
+
+    ceil_fma = measure_vpu_fma()
+    ceil_fma_bf16 = measure_vpu_fma(dtype=jnp.bfloat16)
+    ceil_exp = measure_transcendental()
+    ceil_mxu_f32 = measure_mxu(jnp.float32)
+    ceil_mxu_bf16 = measure_mxu(jnp.bfloat16)
+    ceil_hbm = measure_hbm_read()
+    for name, v, unit in (
+        ("vpu_fma_f32", ceil_fma / 1e12, "TFLOP/s"),
+        ("vpu_fma_bf16", ceil_fma_bf16 / 1e12, "TFLOP/s"),
+        ("transcendental", ceil_exp / 1e9, "Gexp/s"),
+        ("mxu_f32", ceil_mxu_f32 / 1e12, "TFLOP/s"),
+        ("mxu_bf16", ceil_mxu_bf16 / 1e12, "TFLOP/s"),
+        ("hbm_read", ceil_hbm / 1e9, "GB/s"),
+    ):
+        print(f"# ceiling {name}: {v:.2f} {unit}", file=sys.stderr, flush=True)
+
+    # achieved rates from the scored headline protocol
+    n_chains = int(os.environ.get("BENCH_CHAINS", 16384))
+    n_steps = int(os.environ.get("BENCH_TOTAL_STEPS", 4500))  # 500 warm + 4000
+    e2e_ms = os.environ.get("BENCH_E2E_MS")
+    if e2e_ms is None:
+        # run the headline protocol once to measure (cache-warm assumption)
+        import subprocess
+
+        print("# timing headline run via bench.py (BENCH_E2E_MS not set)...",
+              file=sys.stderr, flush=True)
+        env = dict(os.environ, BENCH_REPS="2", BENCH_GENERAL="0",
+                   BENCH_BASELINE_REPS="1", BENCH_BASELINE_SWEEPS="500")
+        out = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        import re
+
+        m = re.search(r"mean (\d+\.?\d*)ms", out.stderr)
+        if not m:
+            print(out.stderr[-2000:], file=sys.stderr)
+            sys.exit(1)
+        e2e_ms = m.group(1)
+    e2e = float(e2e_ms) / 1e3
+
+    step_flops, step_transc = linreg_step_costs()
+    total_flops = n_chains * n_steps * step_flops
+    total_transc = n_chains * n_steps * step_transc
+    # HBM: draws out (4000 steps x d_pad f32/chain) + q/eps/metric in/out
+    draws_bytes = n_chains * (n_steps - 500) * 8 * 4
+    achieved_flops = total_flops / e2e
+    achieved_transc = total_transc / e2e
+
+    rec = {
+        "metric": "fused linreg HMC utilization, headline protocol",
+        "device": dev,
+        "e2e_ms": round(e2e * 1e3, 1),
+        "ceilings": {
+            "vpu_fma_f32_tflops": round(ceil_fma / 1e12, 2),
+            "vpu_fma_bf16_tflops": round(ceil_fma_bf16 / 1e12, 2),
+            "transcendental_gexp_s": round(ceil_exp / 1e9, 2),
+            "mxu_f32_tflops": round(ceil_mxu_f32 / 1e12, 2),
+            "mxu_bf16_tflops": round(ceil_mxu_bf16 / 1e12, 2),
+            "hbm_read_gb_s": round(ceil_hbm / 1e9, 1),
+        },
+        "per_step_flops": step_flops,
+        "per_step_transcendentals": step_transc,
+        "achieved_tflops": round(achieved_flops / 1e12, 3),
+        "achieved_gexp_s": round(achieved_transc / 1e9, 3),
+        "pct_vpu_fma": round(100 * achieved_flops / ceil_fma, 1),
+        "pct_transcendental": round(100 * achieved_transc / ceil_exp, 1),
+        "draws_hbm_write_ms_at_ceiling": round(
+            draws_bytes / ceil_hbm * 1e3, 2
+        ),
+        "draws_hbm_write_pct_of_e2e": round(
+            100 * draws_bytes / ceil_hbm / e2e, 2
+        ),
+    }
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

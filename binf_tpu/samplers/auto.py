@@ -31,6 +31,7 @@ from binf_tpu.samplers.fused import (
     FusedModelResult,
     _auto_block_chains,
     _cached_tile_potential,
+    _contains_loop,
     fused_model_hmc,
 )
 
@@ -56,28 +57,6 @@ class RoutingDecision(NamedTuple):
     n_local_chains: int
     sequential: bool
     block_chains: int | None
-
-
-def _contains_loop(jaxpr) -> bool:
-    """True if any equation (recursively) is a scan or while loop."""
-    for eqn in jaxpr.eqns:
-        if eqn.primitive.name in ("scan", "while"):
-            return True
-        for v in eqn.params.values():
-            for sub in _sub_jaxprs(v):
-                if _contains_loop(sub):
-                    return True
-    return False
-
-
-def _sub_jaxprs(v):
-    if hasattr(v, "jaxpr"):  # ClosedJaxpr
-        yield v.jaxpr
-    elif hasattr(v, "eqns"):  # raw Jaxpr
-        yield v
-    elif isinstance(v, (tuple, list)):
-        for item in v:
-            yield from _sub_jaxprs(item)
 
 
 def route_algorithm(
@@ -127,8 +106,8 @@ def route_algorithm(
 
     d = sum(size for _, _, size in spec)
     d_pad = ((d + 7) // 8) * 8
-    bc = _auto_block_chains(spec, consts)
     sequential = _contains_loop(jax.make_jaxpr(logdensity_fn)(template).jaxpr)
+    bc = _auto_block_chains(spec, consts, sequential=sequential)
 
     if sequential:
         return RoutingDecision(

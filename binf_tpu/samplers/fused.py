@@ -203,7 +203,29 @@ def _cached_tile_potential(logdensity_fn, template):
     return hit
 
 
-def _auto_block_chains(spec, consts):
+def _contains_loop(jaxpr) -> bool:
+    """True if any equation (recursively) is a scan or while loop."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in ("scan", "while"):
+            return True
+        for v in eqn.params.values():
+            for sub in _sub_jaxprs(v):
+                if _contains_loop(sub):
+                    return True
+    return False
+
+
+def _sub_jaxprs(v):
+    if hasattr(v, "jaxpr"):  # ClosedJaxpr
+        yield v.jaxpr
+    elif hasattr(v, "eqns"):  # raw Jaxpr
+        yield v
+    elif isinstance(v, (tuple, list)):
+        for item in v:
+            yield from _sub_jaxprs(item)
+
+
+def _auto_block_chains(spec, consts, sequential: bool = False):
     """Pick the chain-tile width from a VMEM-usage estimate.
 
     Measured on v5e (docs/performance.md): small-state models need
@@ -216,9 +238,15 @@ def _auto_block_chains(spec, consts):
     lanes ~= 32.4KB/lane with ~250 const elements) -- and take the widest
     power-of-two tile in [512, 4096] under a 48MB budget (half the
     kernels' 100MB scoped-VMEM cap, leaving room for noise staging and
-    draw buffers)."""
+    draw buffers).
+
+    ``sequential`` (density contains a scan/while): cap at 512 lanes --
+    the in-kernel loop keeps its carries live per lane, and the measured
+    statespace@8192 timings are 74 ms at 512 vs 104 ms at 4096."""
     import numpy as _np
 
+    if sequential:
+        return 512
     d = sum(size for _, _, size in spec)
     d_pad = ((d + 7) // 8) * 8
     c_tot = sum(
@@ -338,7 +366,12 @@ def fused_model_hmc(
         raise ValueError(f"{n_chains=} must be divisible by mesh chain axis {n_dev}")
     n_local = n_chains // n_dev
     if block_chains == "auto":
-        block_chains = _auto_block_chains(spec, consts)
+        block_chains = _auto_block_chains(
+            spec, consts,
+            sequential=_contains_loop(
+                jax.make_jaxpr(logdensity_fn)(template).jaxpr
+            ),
+        )
     bc = min(block_chains, n_local)
     while n_local % bc:
         bc -= 1

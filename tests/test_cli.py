@@ -47,6 +47,7 @@ def test_cli_default_auto_routes_and_reports():
     assert abs(means[1] + 4.0) < 0.8
 
 
+@pytest.mark.slow
 def test_cli_auto_routes_hierarchical_large_batch_to_xla():
     out = main([
         "--model", "hierarchical", "--algorithm", "auto",
@@ -85,6 +86,7 @@ def test_cli_unknown_model():
         main(["--model", "nope"])
 
 
+@pytest.mark.slow
 def test_cli_fused_polynomial():
     out = main([
         "--model", "polynomial", "--algorithm", "fused",
@@ -129,6 +131,7 @@ def test_cli_statespace_fused():
     assert out["summary"]["dynamics"]["rhat"][0] < 1.35
 
 
+@pytest.mark.slow
 def test_cli_mixture_hmc():
     """mixture registered in the CLI; logsumexp likelihood via HMC."""
     out = main([
@@ -154,6 +157,7 @@ def test_cli_fused_warmup_mode_and_moments():
     assert abs(means[1] + 4.0) < 0.6
 
 
+@pytest.mark.slow
 def test_cli_hmc_dense_metric():
     """--metric dense: dense-mass HMC on the (correlated) polynomial
     posterior recovers the coefficients."""
@@ -185,6 +189,7 @@ def test_cli_pathfinder():
     assert abs(out["posterior_means"]["coefficients"][1] + 4.0) < 1.0
 
 
+@pytest.mark.slow
 def test_cli_pathfinder_init():
     """--init pathfinder: a short warmup suffices from typical-set starts."""
     out = main(["--model", "polynomial", "--algorithm", "hmc",
