@@ -289,6 +289,12 @@ def main():
     if os.environ.get("BENCH_GENERAL", "1") == "1":
         from binf_tpu.ops.pallas.fused_potential import fused_potential_hmc_run
 
+        # the general kernel's interpreter-built body has a larger
+        # per-lane VMEM footprint than the hand-tiled one: cap its tile
+        # at the feed-forward auto-tile width (4096) instead of the
+        # headline's single full-batch tile
+        gen_kwargs = dict(kern_kwargs, block_chains=min(4096, bc))
+
         @jax.jit
         def full_run_general(q0, seed):
             qw, eps_c, im_c = fused_warmup_run(
@@ -301,7 +307,7 @@ def main():
                 potential, qw, seed + 1, eps, im, consts,
                 num_steps=N_SAMPLES,
                 steps_per_block=min(50, N_SAMPLES),
-                **kern_kwargs,
+                **gen_kwargs,
             )
             return r.draws, r.accept_rate
 

@@ -38,80 +38,126 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timeit(fn, *args, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+_RTT = None
+
+
+def _rtt_floor():
+    """Measured floor of one serialized scalar round trip (fetch).
+
+    CRITICAL measurement fact for this environment (discovered 2026-08-21):
+    ``block_until_ready`` on a SCALAR output of the axon tunnel returns
+    immediately without waiting for device completion (array outputs wait
+    correctly -- which is why the fused-kernel benches, which block on
+    large draw arrays, time honestly).  All ceilings here therefore time
+    serialized ``float()`` VALUE FETCHES and subtract this RTT floor."""
+    global _RTT
+    if _RTT is None:
+        f = jax.jit(lambda s: s + 1.0)
+        float(f(0.0))
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(f(float(i)))
+            ts.append(time.perf_counter() - t0)
+        _RTT = float(np.median(ts))
+        print(f"# rtt floor: {_RTT*1e3:.1f} ms", file=sys.stderr, flush=True)
+    return _RTT
+
+
+def _timeit(fn, *args, iters=3):
+    """Serialized value-fetch timing minus the RTT floor.  Work sizes
+    below are chosen so device time is >= 10x the RTT jitter."""
+    rtt = _rtt_floor()
+    float(fn(*args))  # warm
+    ts = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts)) - rtt
+    return max(t, 1e-9)
 
 
-def measure_vpu_fma(dtype=jnp.float32, n_inner=512, shape=(512, 1024)):
-    """Dependency-parallel FMA chain: 2 flops/element/iteration."""
-    x = jnp.ones(shape, dtype)
+def measure_vpu_fma(dtype=jnp.float32, unroll=512, length=2048,
+                    shape=(256, 1024)):
+    """FMA chain unrolled 512x inside a scan body with a small carry:
+    512 x 2 flops per element per iteration against 2 x carry bytes of
+    HBM traffic = ~256 flops/byte, safely compute-bound."""
+    x = jnp.full(shape, 0.5, dtype)
 
     @jax.jit
     def run(x):
         def body(acc, _):
-            # 4 independent FMA streams to fill the VPU pipeline
-            a, b, c, d = acc
-            a = a * 1.000001 + 0.3
-            b = b * 0.999999 + 0.1
-            c = c * 1.000002 + 0.2
-            d = d * 0.999998 + 0.4
-            return (a, b, c, d), None
+            a, b = acc
+            # data-dependent multipliers: a constant-coefficient affine
+            # chain collapses to ONE fma under XLA's algebraic folding
+            # (observed: "218 TFLOP/s").  Fixed point ~0.113, stable.
+            for _ in range(unroll // 2):
+                a = a * b + 0.1
+                b = b * a + 0.1
+            return (a, b), None
 
-        accs, _ = jax.lax.scan(body, (x, x + 1, x + 2, x + 3), None,
-                               length=n_inner)
-        return sum(accs)
+        (a, b), _ = jax.lax.scan(body, (x, x + 0.05), None, length=length)
+        return jnp.sum((a + b).astype(jnp.float32))
 
     t = _timeit(run, x)
-    flops = 4 * 2 * np.prod(shape) * n_inner  # 4 streams x fma(2)
+    flops = 2 * (unroll // 2) * np.prod(shape) * length * 2  # 2 fma/elem
     return flops / t
 
 
-def measure_transcendental(n_inner=256, shape=(512, 1024)):
+def measure_transcendental(unroll=64, length=2048, shape=(256, 1024)):
     x = jnp.full(shape, 0.5, jnp.float32)
 
     @jax.jit
     def run(x):
         def body(acc, _):
             a, b = acc
-            a = jnp.exp(a * 1e-6)
-            b = jnp.exp(b * -1e-6)
+            for _ in range(unroll // 2):
+                a = jnp.exp(a * 1e-6)
+                b = jnp.exp(b * -1e-6)
             return (a, b), None
 
-        accs, _ = jax.lax.scan(body, (x, x + 0.1), None, length=n_inner)
-        return accs[0] + accs[1]
+        (a, b), _ = jax.lax.scan(body, (x, x + 0.1), None, length=length)
+        return jnp.sum(a + b)
 
     t = _timeit(run, x)
-    return 2 * np.prod(shape) * n_inner / t  # exp/s
+    return 2 * (unroll // 2) * np.prod(shape) * length / t  # exp/s
 
 
-def measure_mxu(dtype, n=4096):
-    a = jnp.ones((n, n), dtype)
-    b = jnp.ones((n, n), dtype)
+def measure_mxu(dtype, n=8192, chain=8):
+    a = jnp.eye(n, dtype=dtype) + 1e-3
 
     @jax.jit
-    def run(a, b):
-        return (a @ b @ a)[0, 0]
+    def run(a, s):
+        # matmul chain with a nonlinear cap each step: defeats both
+        # slice-propagation and sum(A@B) -> (colsum)@(rowsum) rewrites
+        # (both observed producing PFLOP/s fantasy numbers)
+        c = a + s
+        for _ in range(chain):
+            c = jnp.tanh(c @ a)
+        return jnp.sum(c.astype(jnp.float32))
 
-    t = _timeit(run, a, b)
-    return 2 * 2 * n**3 / t
+    t = _timeit(run, a, 1e-4)
+    return chain * 2 * n**3 / t
 
 
-def measure_hbm_read(gb=2.0):
+def measure_hbm_read(gb=2.0, length=16):
     n = int(gb * 1e9 / 4)
     x = jnp.ones((n,), jnp.float32)
 
     @jax.jit
     def run(x):
-        return jnp.sum(x)
+        def body(acc, k):
+            # x + k differs per iteration -> no CSE, full re-read
+            return acc + jnp.sum(x * (1.0 + k)), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(()), jnp.arange(length, dtype=jnp.float32)
+        )
+        return acc
 
     t = _timeit(run, x)
-    return n * 4 / t  # bytes/s
+    return length * n * 4 / t  # bytes/s
 
 
 # -- analytic op counts: one leapfrog step of the linreg kernel --------------
@@ -148,12 +194,31 @@ def main():
     dev = jax.devices()[0].device_kind
     print(f"# device: {dev}", file=sys.stderr, flush=True)
 
-    ceil_fma = measure_vpu_fma()
-    ceil_fma_bf16 = measure_vpu_fma(dtype=jnp.bfloat16)
-    ceil_exp = measure_transcendental()
-    ceil_mxu_f32 = measure_mxu(jnp.float32)
-    ceil_mxu_bf16 = measure_mxu(jnp.bfloat16)
-    ceil_hbm = measure_hbm_read()
+    # The tunnel's d2h path can wedge MID-RUN, making block_until_ready a
+    # no-op and every "ceiling" a dispatch-time artifact (observed:
+    # 40 TB/s "HBM reads").  Each ceiling therefore re-gates on the
+    # canary and is rejected + retried if it exceeds a physical bound for
+    # any single-chip TPU generation.
+    def gated(measure, bound, *args, retries=4, **kwargs):
+        for _ in range(retries):
+            if jax.default_backend() != "cpu" and not wait_for_device_health():
+                sys.exit(1)
+            v = measure(*args, **kwargs)
+            if v <= bound:
+                return v
+            print(f"# ceiling {measure.__name__} = {v:.3g} exceeds physical "
+                  "bound -- d2h wedge suspected, re-probing", file=sys.stderr,
+                  flush=True)
+            time.sleep(30)
+        print("# giving up: device unhealthy", file=sys.stderr, flush=True)
+        sys.exit(1)
+
+    ceil_fma = gated(measure_vpu_fma, 100e12)
+    ceil_fma_bf16 = gated(measure_vpu_fma, 200e12, dtype=jnp.bfloat16)
+    ceil_exp = gated(measure_transcendental, 10e12)
+    ceil_mxu_f32 = gated(measure_mxu, 500e12, jnp.float32)
+    ceil_mxu_bf16 = gated(measure_mxu, 1000e12, jnp.bfloat16)
+    ceil_hbm = gated(measure_hbm_read, 3000e9)
     for name, v, unit in (
         ("vpu_fma_f32", ceil_fma / 1e12, "TFLOP/s"),
         ("vpu_fma_bf16", ceil_fma_bf16 / 1e12, "TFLOP/s"),
