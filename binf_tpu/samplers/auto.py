@@ -109,6 +109,30 @@ def route_algorithm(
     sequential = _contains_loop(jax.make_jaxpr(logdensity_fn)(template).jaxpr)
     bc = _auto_block_chains(spec, consts, sequential=sequential)
 
+    # data-heavy guard (measured boundary, round 4): the chromatin density
+    # (D=193, ~8.3k constant elements) needs 203 MB of scoped VMEM at a
+    # 128-lane tile vs the chip's 128 MB -- the per-lane estimate (~1.1 MB
+    # vs ~1.6 MB actual) correctly predicts the blow-up.  When even the
+    # floor tile exceeds the budget, the fused kernel cannot compile at a
+    # useful width: hand off to XLA (plus the O(N) pairwise kernel for
+    # large restraint fields, ops/pallas/pairwise.py).
+    import numpy as _np
+
+    c_tot = sum(
+        int(_np.prod(v.shape)) if getattr(v, "shape", ()) else 1
+        for v in consts.values()
+    )
+    per_lane = 4 * 32 * (d_pad + c_tot)
+    if per_lane * 128 > 128 * 1024 * 1024:
+        return RoutingDecision(
+            "xla",
+            "data-heavy density: a 128-lane tile already exceeds chip "
+            "VMEM (measured: chromatin needs 203MB at 128 lanes vs "
+            "128MB available; estimate 1.1MB/lane vs 1.6MB actual) -> "
+            "XLA path",
+            d, d_pad, n_local, sequential, None,
+        )
+
     if sequential:
         return RoutingDecision(
             "fused",

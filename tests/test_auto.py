@@ -77,6 +77,17 @@ def test_route_vmem_bound_tile_to_xla():
     assert d.block_chains < 2048
 
 
+def test_route_data_heavy_density_to_xla():
+    """chromatin (D=193, ~8.3k const elements): the fused kernel measured
+    203MB of scoped VMEM at a 128-lane tile vs the chip's 128MB -- the
+    router must hand off to XLA at every batch size (explicit
+    --algorithm fused remains available for interpret-mode runs)."""
+    logdensity, positions = _family("chromatin", 64)
+    d = route_algorithm(logdensity, positions)
+    assert d.path == "xla"
+    assert d.reason.startswith("data-heavy")
+
+
 def test_route_unsupported_density_to_xla():
     """A density the lane-batching interpreter cannot compile must fall
     back to XLA rather than raising at run time."""
