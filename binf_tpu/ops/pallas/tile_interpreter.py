@@ -96,7 +96,9 @@ def _aval_shape(v) -> tuple[int, ...]:
 # and unbatched arrays, and returns a list of outputs (LaneTile or unbatched).
 
 _ELEMENTWISE = {
-    "abs", "add", "and", "atan2", "cbrt", "ceil", "clamp", "cos", "cosh",
+    # add_any: reverse-mode AD's cotangent accumulator, semantically add
+    "abs", "add", "add_any", "and", "atan2", "cbrt", "ceil", "clamp", "cos",
+    "cosh",
     "div", "eq", "erf", "erfc", "exp", "exp2", "expm1", "floor", "ge", "gt",
     "is_finite", "le", "log", "log1p", "logistic", "lt", "max", "min", "mul",
     "ne", "neg", "nextafter", "not", "or", "pow", "rem", "round", "rsqrt",
