@@ -333,6 +333,18 @@ def main(argv=None):
         if args.algorithm == "auto":
             from binf_tpu.samplers.auto import adaptive_hmc
 
+            # forward non-default fused-only flags so e.g. '--warmup-mode
+            # dense' is honored (adaptive_hmc raises a clear error if the
+            # run routes to XLA while these are set -- ADVICE round 4)
+            fused_only = {}
+            if args.per_chain_step:
+                fused_only["per_chain_step_size"] = True
+            if args.trajectory != "fixed":
+                fused_only["trajectory"] = args.trajectory
+            if args.warmup_mode != "xla":
+                fused_only["warmup"] = args.warmup_mode
+            if args.block_chains != "auto":
+                fused_only["block_chains"] = int(args.block_chains)
             result, decision = adaptive_hmc(
                 logdensity, u_positions, k_run,
                 num_warmup=args.warmup, num_samples=args.samples,
@@ -342,6 +354,7 @@ def main(argv=None):
                 thin=args.thin,
                 mesh=mesh,
                 collect=args.collect,
+                **fused_only,
             )
         else:
             from binf_tpu.samplers.fused import fused_model_hmc

@@ -149,7 +149,10 @@ def tile_potential_from_scalar(logdensity_fn: Callable, template: dict):
     def _register_const(arr):
         arr = jnp.asarray(arr)
         if arr.ndim > 2:
-            raise ValueError(
+            # UnsupportedPrimitiveError (not ValueError) so the auto-router
+            # treats ">2-D constant" as "not tile-compilable" and falls back
+            # to the XLA path instead of crashing (ADVICE round 4)
+            raise UnsupportedPrimitiveError(
                 "closed-over constants must be at most 2-D for the fused "
                 f"path; got shape {arr.shape} (reshape the data upstream)"
             )

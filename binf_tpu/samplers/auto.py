@@ -8,7 +8,7 @@ The framework has two ways to run adaptive HMC on an arbitrary model:
   in-kernel moments);
 * the XLA path (``parallel.runner.warmup_and_run``): ``scan(vmap(hmc))`` --
   wins on large-batch feed-forward models whose graph XLA fuses globally
-  (measured: hierarchical 21-D at 8k chains runs 0.55x on the fused path at
+  (measured: hierarchical 21-D at 8k chains runs 0.47x on the fused path at
   EVERY tile width, docs/performance.md).
 
 The reference has exactly one way to run anything -- the user's for-loop
@@ -77,7 +77,7 @@ def route_algorithm(
     4. large-batch feed-forward: FUSED only when the padded state is one
        lane group (d_pad <= 8) AND the VMEM budget allows a >= 2048-chain
        tile (polynomial reaches 1.0x there and keeps the single-dispatch
-       advantages); otherwise XLA (hierarchical d_pad=24 measured 0.55x
+       advantages); otherwise XLA (hierarchical d_pad=24 measured 0.47x
        fused at 8k chains at every tile width; mixture's VMEM-bound 1024
        tile measured 0.95x).
     """
@@ -109,13 +109,6 @@ def route_algorithm(
     sequential = _contains_loop(jax.make_jaxpr(logdensity_fn)(template).jaxpr)
     bc = _auto_block_chains(spec, consts, sequential=sequential)
 
-    # data-heavy guard (measured boundary, round 4): the chromatin density
-    # (D=193, ~8.3k constant elements) needs 203 MB of scoped VMEM at a
-    # 128-lane tile vs the chip's 128 MB -- the per-lane estimate (~1.1 MB
-    # vs ~1.6 MB actual) correctly predicts the blow-up.  When even the
-    # floor tile exceeds the budget, the fused kernel cannot compile at a
-    # useful width: hand off to XLA (plus the O(N) pairwise kernel for
-    # large restraint fields, ops/pallas/pairwise.py).
     import numpy as _np
 
     c_tot = sum(
@@ -123,13 +116,19 @@ def route_algorithm(
         for v in consts.values()
     )
     per_lane = 4 * 32 * (d_pad + c_tot)
-    if per_lane * 128 > 128 * 1024 * 1024:
+    # the guard tests the FLOOR tile the kernel would actually use (512
+    # lanes, _auto_block_chains never goes lower) against the kernels'
+    # 100MB scoped-VMEM cap -- a density passing a narrower hypothetical
+    # tile but blowing up at 512 would otherwise route fused and then
+    # fail to compile (ADVICE round 4).  Measured anchor: chromatin
+    # (D=193) needs 203MB at even a 128-lane tile vs 128MB chip VMEM;
+    # the 1.1MB/lane estimate correctly predicted the 1.6MB/lane actual.
+    if per_lane * 512 > 100 * 1024 * 1024:
         return RoutingDecision(
             "xla",
-            "data-heavy density: a 128-lane tile already exceeds chip "
-            "VMEM (measured: chromatin needs 203MB at 128 lanes vs "
-            "128MB available; estimate 1.1MB/lane vs 1.6MB actual) -> "
-            "XLA path",
+            "data-heavy density: the 512-lane floor tile exceeds the "
+            "kernel's scoped-VMEM budget (measured: chromatin needs "
+            "203MB at 128 lanes vs 128MB available) -> XLA path",
             d, d_pad, n_local, sequential, None,
         )
 

@@ -115,7 +115,11 @@ def _single_path(
         )
         new_params = optax.apply_updates(params, updates)
 
-        # history pair from this move (curvature condition s^T y > 0)
+        # history pair from this move (curvature condition s^T y > 0); the
+        # write cursor t advances ONLY on accepted pairs, so a rejected move
+        # never leaves a stale pair sitting in the "newest" slot (ADVICE
+        # round 4: with slot = step % history a rejected step kept an
+        # ~history-old pair valid AND weighted as most recent)
         s = new_params - params
         _, new_grad = jax.value_and_grad(neg_logdensity_flat)(new_params)
         y = new_grad - grad
@@ -124,14 +128,16 @@ def _single_path(
         S = S.at[slot].set(jnp.where(ok, s, S[slot]))
         Y = Y.at[slot].set(jnp.where(ok, y, Y[slot]))
         valid = valid.at[slot].set(valid[slot] | ok)
+        t = t + jnp.where(ok, 1, 0).astype(t.dtype)
 
         gamma = jnp.where(
             ok, (s @ y) / jnp.maximum(y @ y, 1e-12), jnp.ones(())
         )
-        # gather the circular buffer into chronological order: after writing
-        # slot t % history, the oldest surviving pair sits at (t+1) % history
-        # (for t < history the leading slots are invalid and skipped anyway)
-        idx = (t + 1 + jnp.arange(history)) % history
+        # gather the circular buffer into chronological order: t now points
+        # one past the newest accepted pair, so oldest..newest is
+        # t, t+1, ..., t+history-1 (mod history); invalid slots are skipped
+        # by the valid mask in _bfgs_inverse_hessian
+        idx = (t + jnp.arange(history)) % history
         H = _bfgs_inverse_hessian(S[idx], Y[idx], valid[idx], gamma)
         chol = jnp.linalg.cholesky(H)
 
@@ -148,7 +154,7 @@ def _single_path(
         elbo = jnp.where(
             jnp.isfinite(elbo) & jnp.all(jnp.isfinite(chol)), elbo, -jnp.inf
         )
-        new_carry = (new_params, opt_state, S, Y, valid, t + 1)
+        new_carry = (new_params, opt_state, S, Y, valid, t)
         return new_carry, (new_params, chol, elbo)
 
     S0 = jnp.zeros((history, d))

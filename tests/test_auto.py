@@ -49,7 +49,7 @@ def test_route_small_batch_to_fused():
 
 
 def test_route_large_batch_bigD_to_xla():
-    """hierarchical at 8192 chains (D=21, d_pad=24): measured 0.55x fused
+    """hierarchical at 8192 chains (D=21, d_pad=24): measured 0.47x fused
     at every tile width -> must route XLA (the round-3 shipped loss)."""
     logdensity, positions = _family("hierarchical", 8192)
     d = route_algorithm(logdensity, positions)
@@ -102,6 +102,31 @@ def test_route_unsupported_density_to_xla():
     d = route_algorithm(weird, positions)
     assert d.path == "xla"
     assert d.reason.startswith("not tile-compilable")
+
+
+def test_route_3d_constant_density_to_xla():
+    """A density closing over a >2-D constant cannot become a fused-kernel
+    operand; the router must fall back to XLA instead of crashing (ADVICE
+    round 4: _register_const raised a plain ValueError the router did not
+    catch)."""
+    cube = jax.random.normal(jax.random.key(1), (4, 5, 6))
+
+    def density(pos):
+        x = pos["x"]
+        return -jnp.sum((jnp.einsum("ijk,i->jk", cube, x)) ** 2)
+
+    positions = {"x": jax.random.normal(jax.random.key(2), (64, 4))}
+    d = route_algorithm(density, positions)
+    assert d.path == "xla"
+    assert d.reason.startswith("not tile-compilable")
+
+    # and the full adaptive entry point runs (routes, does not raise)
+    res, dec = adaptive_hmc(
+        density, positions, jax.random.key(3), num_warmup=30, num_samples=30,
+        num_leapfrog=3,
+    )
+    assert dec.path == "xla"
+    assert res.samples["x"].shape[0] == 30
 
 
 def test_route_mesh_uses_per_device_chains():

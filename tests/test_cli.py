@@ -47,6 +47,31 @@ def test_cli_default_auto_routes_and_reports():
     assert abs(means[1] + 4.0) < 0.8
 
 
+def test_cli_auto_forwards_fused_flags():
+    """--algorithm auto must honor fused-only flags instead of silently
+    dropping them (ADVICE round 4): a fused-routed run with
+    --warmup-mode fused executes the in-kernel warmup path."""
+    out = main([
+        "--model", "polynomial", "--algorithm", "auto",
+        "--chains", "64", "--warmup", "100", "--samples", "100",
+        "--warmup-mode", "fused", "--block-chains", "64",
+    ])
+    assert out["routed_to"] == "fused"
+    means = out["summary"]["coefficients"]["mean"]
+    assert abs(means[1] + 4.0) < 0.8
+
+
+def test_cli_auto_rejects_fused_flags_on_xla_route():
+    """Fused-only flags + a shape that routes to XLA must error clearly,
+    not silently ignore the flags (ADVICE round 4)."""
+    with pytest.raises(ValueError, match="fused path only"):
+        main([
+            "--model", "hierarchical", "--algorithm", "auto",
+            "--chains", "4096", "--warmup", "20", "--samples", "20",
+            "--per-chain-step",
+        ])
+
+
 @pytest.mark.slow
 def test_cli_auto_routes_hierarchical_large_batch_to_xla():
     out = main([
