@@ -33,6 +33,7 @@ __all__ = [
     "DistanceRestraintLikelihood",
     "BackbonePrior",
     "make_chromatin_posterior",
+    "make_gram_logdensity",
     "synthetic_restraints",
 ]
 
@@ -151,6 +152,70 @@ def synthetic_restraints(
     W = (0.5 * (raw + raw.T) < observe_frac).astype(jnp.float32)
     W = W * (1.0 - jnp.eye(n_beads))
     return X_true, log_target, W
+
+
+def make_gram_logdensity(
+    log_target: Array,
+    weights: Array,
+    gamma_shape: float = 2.0,
+    gamma_rate: float = 0.1,
+    d0: float = 1.0,
+    k_spring: float = 10.0,
+    k_center: float = 0.01,
+):
+    """Unconstrained chromatin log density in GRAM form (the TPU-native
+    shape of the restraint field, built for the chain-grid fused kernel).
+
+    Mathematically identical (up to a constant) to
+    ``transform_logdensity(make_chromatin_posterior(...).log_prob,
+    {"precision": LogTransform})`` -- verified gradient-exactly in
+    ``tests/test_chain_grid.py`` -- but the pairwise squared distances are
+    computed as ``d2_ij = |x_i|^2 + |x_j|^2 - 2 (X X^T)_ij``: ONE
+    (N, 3) @ (3, N) MXU matmul and 2-D (N, N) elementwise tiles instead of
+    the (N, N, 3) difference tensor the broadcast form materializes.
+    Inside the chain-grid kernel every intermediate is then a well-shaped
+    2-D Mosaic tile with the bead axis in lanes, and the backward pass is
+    an (N, N) @ (N, 3) matmul -- this is what makes the reference's own
+    application workload (restraint fields, ``README.rst:9``, likelihood
+    shape ``binf/example/likelihood.py:54-57``) fusible on hardware.
+
+    Position dict: ``{"structure": (N, 3), "precision": ()}`` with
+    precision in LOG space (matching the CLI's ``LogTransform``).
+    """
+    logD = jnp.asarray(log_target, jnp.float32)
+    W = jnp.asarray(weights, jnp.float32)
+    k_obs = float(jnp.sum(W))
+    n = logD.shape[0]
+
+    def logdensity(pos):
+        X = pos["structure"]  # (N, 3)
+        u = pos["precision"]  # log precision
+        prec = jnp.exp(u)
+
+        sq = jnp.sum(X * X, axis=1, keepdims=True)  # (N, 1)
+        gram = jnp.dot(X, X.T, preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(sq + sq.T - 2.0 * gram, 1e-12)
+        r = 0.5 * jnp.log(d2) - logD
+        loss = jnp.sum(W * r * r)
+        restraint = -0.5 * prec * loss + 0.5 * k_obs * u
+
+        # keepdims: 1-D (N-1,)/(3,) intermediates trigger a Mosaic relayout
+        # bug in-kernel ("non-singleton dim replicated in destination");
+        # 2-D (N-1, 1)/(1, 3) tiles lower cleanly
+        seg = X[1:] - X[:-1]
+        d = jnp.sqrt(
+            jnp.maximum(jnp.sum(seg * seg, axis=-1, keepdims=True), 1e-12)
+        )
+        backbone = -0.5 * k_spring * jnp.sum((d - d0) ** 2)
+        center = -0.5 * k_center * jnp.sum(
+            jnp.mean(X, axis=0, keepdims=True) ** 2
+        ) * n
+
+        # Gamma(shape, rate) on precision + log-Jacobian of exp
+        gamma = (gamma_shape - 1.0) * u - gamma_rate * prec + u
+        return restraint + backbone + center + gamma
+
+    return logdensity
 
 
 def make_sharded_restraint_loss(mesh, axis: str = "data"):

@@ -60,6 +60,7 @@ __all__ = [
 
 _TWO_PI = 2.0 * math.pi
 _SEARCH_TRIALS = 20  # doubling budget of the in-kernel step-size search
+_HALTON_LEN = 256  # jitter table length for in-kernel ChEES trajectories
 
 
 # -- position packing ---------------------------------------------------------
@@ -277,11 +278,15 @@ def _hmc_transition(q, z, u, eps, im, active, value_and_grad, num_leapfrog,
     sampling ``p = W z`` (W W^T = M), velocity ``M^{-1} p``, and the
     kinetic form are then MXU matmuls over the tile; the padded rows of
     minv/W must be zero.
-    Returns ``(q_next, accept, dE)`` with ``dE = E0 - E1`` so callers can
-    derive both the MH decision (sampling) and the acceptance probability
-    ``min(1, exp(dE))`` (warmup dual averaging).  Carries
+    Returns ``(q_next, accept, dE, q_prop, p_end)`` with ``dE = E0 - E1``
+    so callers can derive both the MH decision (sampling) and the
+    acceptance probability ``min(1, exp(dE))`` (warmup dual averaging);
+    ``q_prop``/``p_end`` are the trajectory endpoint and its final
+    momentum (pre-MH), which the ChEES criterion needs.  Carries
     ``(q, p, U(q), grad U(q))`` so a trajectory costs exactly
-    ``num_leapfrog + 1`` potential evaluations.
+    ``num_leapfrog + 1`` potential evaluations; ``num_leapfrog`` may be a
+    TRACED int (jittered ChEES trajectories -- the loop lowers to a Mosaic
+    while loop).
     """
     if dense is None:
         p = z / jnp.sqrt(jnp.maximum(im, 1e-20)) * active
@@ -320,7 +325,7 @@ def _hmc_transition(q, z, u, eps, im, active, value_and_grad, num_leapfrog,
     log_u = jnp.log(jnp.maximum(u, 1e-30))
     accept = log_u < dE
     q = jnp.where(accept, q_new, q)
-    return q, accept, dE
+    return q, accept, dE, q_new, p
 
 
 def _kernel(
@@ -334,8 +339,17 @@ def _kernel(
     thin: int,
     collect: str,
     dense_metric: bool = False,
+    trajectory: str = "fixed",
+    max_leapfrog: int = 256,
 ):
     (seed_ref, off_ref, eps_ref, q0_ref, im_ref), rest = refs[:5], refs[5:]
+    if trajectory == "chees":
+        # per-tile adapted mean trajectory length T + step size (SMEM
+        # scalars) + the halton jitter table: step t integrates
+        # L_t = ceil(h_t * 2T / eps) steps (uniform jitter in (0, 2T),
+        # Hoffman/Radul/Sountsov 2021); all chains in a tile share one
+        # traced loop bound -- no per-chain control flow
+        (T_ref, epsL_ref, halton_ref), rest = rest[:3], rest[3:]
     if dense_metric:
         # im_ref then carries the (D_pad, D_pad) inverse mass; the
         # momentum-sampling factor W rides as one extra operand
@@ -402,8 +416,19 @@ def _kernel(
         else:
             z = _normal(q.shape)
             u = _uniform((1, q.shape[1]))
-        q, accept, _ = _hmc_transition(
-            q, z, u, eps, im, active, value_and_grad, num_leapfrog,
+        if trajectory == "chees":
+            t_abs = j * steps_per_block + carry
+            h = halton_ref[0, t_abs % _HALTON_LEN]
+            n_leap = jnp.clip(
+                jnp.ceil(h * 2.0 * T_ref[0, 0] / epsL_ref[0, 0]).astype(
+                    jnp.int32
+                ),
+                1, max_leapfrog,
+            )
+        else:
+            n_leap = num_leapfrog
+        q, accept, _, _, _ = _hmc_transition(
+            q, z, u, eps, im, active, value_and_grad, n_leap,
             dense=dense,
         )
         q_scr[:] = q
@@ -471,11 +496,21 @@ def _warmup_kernel(
     schedule,
     target_accept: float,
     init_search: bool,
+    trajectory: str = "fixed",
+    max_leapfrog: int = 256,
 ):
     (seed_ref, eps0_ref, q0_ref), rest = refs[:3], refs[3:]
     n_consts = len(const_names)
     const_refs = rest[:n_consts]
-    mom_ref, unif_ref, qf_ref, eps_out_ref, im_out_ref, q_scr = rest[n_consts:]
+    if trajectory == "chees":
+        (halton_ref,), rest = rest[n_consts: n_consts + 1], rest[n_consts + 1:]
+        (mom_ref, unif_ref, qf_ref, eps_out_ref, im_out_ref, T_out_ref,
+         q_scr) = rest
+    else:
+        mom_ref, unif_ref, qf_ref, eps_out_ref, im_out_ref, q_scr = (
+            rest[n_consts:]
+        )
+        halton_ref = T_out_ref = None
 
     i = pl.program_id(0)
     if not host_noise:
@@ -525,7 +560,7 @@ def _warmup_kernel(
             else:
                 z = _normal(q_start.shape)
                 u = _uniform((1, bc))
-            _, _, dE = _hmc_transition(
+            _, _, dE, _, _ = _hmc_transition(
                 q_start, z, u, jnp.exp(log_eps), active, active,
                 value_and_grad, num_leapfrog,
             )
@@ -562,7 +597,7 @@ def _warmup_kernel(
 
     def step(t, carry):
         (log_step, log_step_avg, grad_avg, count, mu,
-         wf_n, wf_mean, wf_m2, im) = carry
+         wf_n, wf_mean, wf_m2, im, log_T, adam_m, adam_v, t_chees) = carry
         q = q_scr[:]
         if host_noise:
             z = mom_ref[noise_off + t]
@@ -571,8 +606,20 @@ def _warmup_kernel(
             z = _normal(q.shape)
             u = _uniform((1, q.shape[1]))
         eps = jnp.exp(log_step)
-        q, _, dE = _hmc_transition(
-            q, z, u, eps, im, active, value_and_grad, num_leapfrog
+        if trajectory == "chees":
+            h = halton_ref[0, t % _HALTON_LEN]
+            n_leap = jnp.clip(
+                jnp.ceil(h * 2.0 * jnp.exp(log_T[0, 0]) / eps[0, 0]).astype(
+                    jnp.int32
+                ),
+                1, max_leapfrog,
+            )
+        else:
+            h = jnp.float32(1.0)
+            n_leap = num_leapfrog
+        q_old = q
+        q, _, dE, q_prop, p_end = _hmc_transition(
+            q, z, u, eps, im, active, value_and_grad, n_leap
         )
         q_scr[:] = q
 
@@ -580,6 +627,37 @@ def _warmup_kernel(
         # mirrors samplers.adaptation.dual_averaging_update)
         alpha = jnp.minimum(1.0, jnp.exp(jnp.minimum(dE, 0.0)))
         alpha = jnp.where(jnp.isnan(dE), 0.0, alpha)
+
+        if trajectory == "chees":
+            # ChEES surrogate gradient pooled over the tile's chains
+            # (samplers/chees.py does the same over the full batch):
+            # d/dT E[(||q'-mu'||^2 - ||q-mu||^2)^2]/4 via the per-chain
+            # proxy  alpha * (sq' - sq) * <q'-mu', v_end> * h
+            mu_old = jnp.mean(q_old, axis=1, keepdims=True)
+            mu_new = jnp.mean(q_prop, axis=1, keepdims=True)
+            qc_new = (q_prop - mu_new) * active
+            sq_old = jnp.sum(((q_old - mu_old) * active) ** 2, axis=0,
+                             keepdims=True)
+            sq_new = jnp.sum(qc_new**2, axis=0, keepdims=True)
+            dots = jnp.sum(qc_new * (p_end * im), axis=0, keepdims=True)
+            per_chain = alpha * (sq_new - sq_old) * dots * h
+            per_chain = jnp.where(jnp.isfinite(per_chain), per_chain, 0.0)
+            g_T = jnp.sum(per_chain, axis=1, keepdims=True) / jnp.maximum(
+                jnp.sum(alpha, axis=1, keepdims=True), 1e-6
+            )
+            g_T = g_T / (jnp.abs(g_T) + 1e-10) * jnp.tanh(jnp.abs(g_T))
+            g_T = jnp.where(jnp.isfinite(g_T), g_T, 0.0)
+            t_chees = t_chees + 1.0
+            adam_m = 0.9 * adam_m + 0.1 * g_T
+            adam_v = 0.999 * adam_v + 0.001 * g_T**2
+            mhat = adam_m / (1.0 - 0.9**t_chees)
+            vhat = adam_v / (1.0 - 0.999**t_chees)
+            log_T = log_T + 0.025 * mhat / (jnp.sqrt(vhat) + 1e-8)
+            # keep T within [eps, max_leapfrog * eps]
+            log_T = jnp.clip(
+                log_T, log_step, log_step + math.log(max_leapfrog)
+            )
+
         a_mean = jnp.mean(alpha, axis=1, keepdims=True)
         count = count + 1.0
         w = 1.0 / (count + 10.0)
@@ -618,7 +696,7 @@ def _warmup_kernel(
             grad_avg = jnp.where(is_reset, zero, grad_avg)
             count = jnp.where(is_reset, zero, count)
         return (log_step, log_step_avg, grad_avg, count, mu,
-                wf_n, wf_mean, wf_m2, im)
+                wf_n, wf_mean, wf_m2, im, log_T, adam_m, adam_v, t_chees)
 
     carry0 = (
         log_eps0,                      # log_step
@@ -630,10 +708,14 @@ def _warmup_kernel(
         col,                           # welford mean
         col,                           # welford m2
         active,                        # inverse mass (identity on active rows)
+        # ChEES state (unused ballast under trajectory="fixed"):
+        jnp.log(10.0) + log_eps0,      # log_T (T0 = 10 * eps0, paper default)
+        zero,                          # adam m
+        zero,                          # adam v
+        zero,                          # chees step counter
     )
-    (log_step, log_step_avg, _, _, _, wf_n, _, wf_m2, im) = jax.lax.fori_loop(
-        0, num_warmup, step, carry0
-    )
+    (log_step, log_step_avg, _, _, _, wf_n, _, wf_m2, im, log_T, _, _, _
+     ) = jax.lax.fori_loop(0, num_warmup, step, carry0)
     # the last boundary is pinned at num_warmup - fb (_warmup_schedule), so
     # the metric was harvested in-loop and the final buffer re-adapted the
     # step size under it -- no after-loop harvest
@@ -641,6 +723,15 @@ def _warmup_kernel(
     qf_ref[:] = q_scr[:]
     eps_out_ref[:] = jnp.broadcast_to(jnp.exp(log_step_avg), (1, bc))
     im_out_ref[:] = jnp.broadcast_to(im, (dp, bc))
+    if trajectory == "chees":
+        # clamp T to the FINAL averaged step size's feasible band before
+        # freezing (log_T tracked the instantaneous eps during adaptation)
+        T_final = jnp.clip(
+            jnp.exp(log_T),
+            jnp.exp(log_step_avg),
+            jnp.exp(log_step_avg) * max_leapfrog,
+        )
+        T_out_ref[:] = jnp.broadcast_to(T_final, (1, bc))
 
 
 @functools.partial(
@@ -648,6 +739,7 @@ def _warmup_kernel(
     static_argnames=(
         "potential", "num_warmup", "num_leapfrog", "block_chains",
         "interpret", "host_noise", "target_accept", "init_search",
+        "trajectory", "max_leapfrog",
     ),
 )
 def fused_warmup_run(
@@ -664,6 +756,8 @@ def fused_warmup_run(
     host_noise: bool = False,
     target_accept: float = 0.8,
     init_search: bool = False,
+    trajectory: str = "fixed",
+    max_leapfrog: int = 256,
 ):
     """Stan-style warmup executed INSIDE one Pallas kernel.
 
@@ -745,15 +839,33 @@ def fused_warmup_run(
         schedule=_warmup_schedule(num_warmup),
         target_accept=target_accept,
         init_search=init_search,
+        trajectory=trajectory,
+        max_leapfrog=max_leapfrog,
     )
 
-    qf, eps, im = pl.pallas_call(
+    chees = trajectory == "chees"
+    if chees:
+        from binf_tpu.samplers.chees import halton_sequence
+
+        halton_ops = [jnp.asarray(
+            halton_sequence(_HALTON_LEN), jnp.float32
+        ).reshape(1, _HALTON_LEN)]
+        halton_specs = [
+            pl.BlockSpec((1, _HALTON_LEN), fixed, memory_space=pltpu.SMEM)
+        ]
+        T_shapes = [jax.ShapeDtypeStruct((1, C), jnp.float32)]
+        T_specs = [pl.BlockSpec((1, block_chains), tile_ix,
+                                memory_space=pltpu.VMEM)]
+    else:
+        halton_ops, halton_specs, T_shapes, T_specs = [], [], [], []
+
+    outs = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((d_pad, C), jnp.float32),  # warmed positions
             jax.ShapeDtypeStruct((1, C), jnp.float32),      # step sizes
             jax.ShapeDtypeStruct((d_pad, C), jnp.float32),  # inverse mass
-        ],
+        ] + T_shapes,
         grid_spec=pl.GridSpec(
             grid=(n_tiles,),
             in_specs=[
@@ -762,6 +874,7 @@ def fused_warmup_run(
                 pl.BlockSpec((d_pad, block_chains), tile_ix,
                              memory_space=pltpu.VMEM),
                 *const_specs,
+                *halton_specs,
                 pl.BlockSpec((noise_steps, d_pad, block_chains),
                              noise_ix, memory_space=pltpu.VMEM),
                 pl.BlockSpec((noise_steps, 1, block_chains),
@@ -774,7 +887,7 @@ def fused_warmup_run(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, block_chains), tile_ix,
                              memory_space=pltpu.VMEM),
-            ],
+            ] + T_specs,
             scratch_shapes=[pltpu.VMEM((d_pad, block_chains), jnp.float32)],
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
@@ -789,8 +902,12 @@ def fused_warmup_run(
             bytes_accessed=4 * num_warmup * d_pad * C,
             transcendentals=4 * d_pad * C * num_warmup,
         ),
-    )(seed_arr, eps0_arr, q0_t, *const_arrays, mom, unif)
+    )(seed_arr, eps0_arr, q0_t, *const_arrays, *halton_ops, mom, unif)
 
+    if chees:
+        qf, eps, im, T = outs
+        return qf[:D, :].T, eps[0, :], im[:D, :].T, T[0, :]
+    qf, eps, im = outs
     return qf[:D, :].T, eps[0, :], im[:D, :].T
 
 
@@ -817,7 +934,7 @@ class FusedRunResult(NamedTuple):
     static_argnames=(
         "potential", "num_steps", "num_leapfrog", "block_chains",
         "steps_per_block", "interpret", "host_noise", "thin", "collect",
-        "dense_mass",
+        "dense_mass", "trajectory", "max_leapfrog",
     ),
 )
 def fused_potential_hmc_run(
@@ -837,6 +954,9 @@ def fused_potential_hmc_run(
     thin: int = 1,
     collect: str = "draws",
     dense_mass: bool = False,
+    trajectory: str = "fixed",
+    max_leapfrog: int = 256,
+    traj_length=None,  # mean trajectory length T (trajectory="chees")
     block_offset=0,
 ) -> FusedRunResult:
     """Run ``num_steps`` fused HMC sweeps of ``exp(-potential)``.
@@ -918,7 +1038,40 @@ def fused_potential_hmc_run(
         thin=thin,
         collect=collect,
         dense_metric=dense_mass,
+        trajectory=trajectory,
+        max_leapfrog=max_leapfrog,
     )
+
+    if trajectory == "chees":
+        from binf_tpu.samplers.chees import halton_sequence
+
+        if traj_length is None:
+            raise ValueError("trajectory='chees' needs traj_length=T")
+        # per-TILE T and eps (SMEM scalars; T from the fused ChEES warmup
+        # is pooled per tile, eps likewise -- representative first lane)
+        T_all = jnp.broadcast_to(
+            jnp.asarray(traj_length, jnp.float32).reshape(-1), (C,)
+        )
+        T_tile = T_all[:: block_chains].reshape(1, n_tiles)
+        epsL_tile = eps_arr[0, :: block_chains].reshape(1, n_tiles)
+        chees_ops = [
+            T_tile,
+            epsL_tile,
+            jnp.asarray(
+                halton_sequence(_HALTON_LEN), jnp.float32
+            ).reshape(1, _HALTON_LEN),
+        ]
+        _t = lambda i, j: (0, i)
+        _fx = lambda i, j: (0, 0)
+        chees_specs = [
+            pl.BlockSpec((1, 1), _t, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), _t, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _HALTON_LEN), _fx, memory_space=pltpu.SMEM),
+        ]
+    elif trajectory == "fixed":
+        chees_ops, chees_specs = [], []
+    else:
+        raise ValueError(f"unknown {trajectory=}; use 'fixed' or 'chees'")
     if host_noise:
         noise_index = lambda i, j: (j, 0, i)
     else:
@@ -967,12 +1120,18 @@ def fused_potential_hmc_run(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, block_chains), tile_ix,
                              memory_space=pltpu.VMEM),
+                (
+                    pl.BlockSpec((d_pad, d_pad), fixed,
+                                 memory_space=pltpu.VMEM)
+                    if dense_mass else
+                    pl.BlockSpec((d_pad, block_chains), tile_ix,
+                                 memory_space=pltpu.VMEM)
+                ),
+                *chees_specs,
                 *(
                     [pl.BlockSpec((d_pad, d_pad), fixed,
-                                  memory_space=pltpu.VMEM)] * 2
-                    if dense_mass else
-                    [pl.BlockSpec((d_pad, block_chains), tile_ix,
                                   memory_space=pltpu.VMEM)]
+                    if dense_mass else []
                 ),
                 *const_specs,
                 pl.BlockSpec((steps_per_block, d_pad, block_chains),
@@ -996,7 +1155,7 @@ def fused_potential_hmc_run(
             bytes_accessed=4 * num_steps * d_pad * C,
             transcendentals=4 * d_pad * C * num_steps,
         ),
-    )(seed_arr, off_arr, eps_arr, q0_t, im,
+    )(seed_arr, off_arr, eps_arr, q0_t, im, *chees_ops,
       *([W_pad] if dense_mass else []), *const_arrays, mom, unif)
 
     *collected, qf, acc = outs

@@ -272,6 +272,9 @@ class FusedModelResult(NamedTuple):
     mean: dict[str, Array] | None = None  # Welford moments (collect="moments")
     variance: dict[str, Array] | None = None
     final_positions: dict[str, Array] | None = None  # (C, ...) per leaf
+    # adapted mean trajectory length T (trajectory="chees"; scalar or
+    # per-chain); sampling jitters L_t ~ U(0, 2T)/eps per step
+    trajectory_length: Array | None = None
 
 
 def fused_model_hmc(
@@ -522,11 +525,12 @@ def fused_model_hmc(
             )
 
         chees = warm_chees(initial_positions, k_warm)
-        # freeze the adapted length to a static leapfrog count (host sync)
-        eps_val = float(chees.step_size)
-        num_leapfrog = int(
-            min(max(round(float(chees.trajectory_length) / eps_val), 1),
-                max_leapfrog)
+        # the sampling kernel jitters trajectories in-kernel around the
+        # adapted mean length T (traced loop bound) -- no host sync, no
+        # frozen static L (round-4 behavior superseded)
+        run_kwargs = dict(
+            run_kwargs, trajectory="chees", max_leapfrog=max_leapfrog,
+            traj_length=chees.trajectory_length,
         )
 
         class _Adapt(NamedTuple):
@@ -589,10 +593,19 @@ def fused_model_hmc(
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        def device_run(seed_g, q0_l, eps_l, im_l, consts_l):
+        # traj_length (chees) is a traced array: pass it as an explicit
+        # replicated shard_map operand rather than a closure capture
+        traj = run_kwargs.pop("traj_length", None)
+        has_traj = traj is not None
+        if not has_traj:
+            traj = jnp.zeros(())
+
+        def device_run(seed_g, q0_l, eps_l, im_l, traj_g, consts_l):
             seed_l = seed_g + jax.lax.axis_index("chain")
             r = fused_potential_hmc_run(
-                potential, q0_l, seed_l, eps_l, im_l, consts_l, **run_kwargs
+                potential, q0_l, seed_l, eps_l, im_l, consts_l,
+                **(dict(run_kwargs, traj_length=traj_g) if has_traj
+                   else run_kwargs),
             )
             a = jax.lax.pmean(r.accept_rate, "chain")
             if collect == "moments":
@@ -607,12 +620,14 @@ def fused_model_hmc(
             shard_map(
                 device_run,
                 mesh=mesh,
-                in_specs=(P(), P("chain", None), P("chain"), P(), P()),
+                in_specs=(P(), P("chain", None), P("chain"), P(), P(), P()),
                 out_specs=(coll_spec, P(), P("chain", None)),
                 check_vma=False,  # pallas_call does not annotate vma
             )
-        )(seed, q0, eps, im_vec, consts)
+        )(seed, q0, eps, im_vec, traj, consts)
     final_positions = _unpack_jit(qf, tuple(spec))
+    T_res = (getattr(adapt, "trajectory_length", None)
+             if trajectory != "chees" else chees.trajectory_length)
     if collect == "moments":
         mean, variance = collected
         return FusedModelResult(
@@ -623,6 +638,7 @@ def fused_model_hmc(
             mean=_unpack_jit(mean, tuple(spec)),
             variance=_unpack_jit(variance, tuple(spec)),
             final_positions=final_positions,
+            trajectory_length=T_res,
         )
     (draws,) = collected
     return FusedModelResult(
@@ -631,6 +647,7 @@ def fused_model_hmc(
         step_size=adapt.step_size,
         inverse_mass=im_vec,
         final_positions=final_positions,
+        trajectory_length=T_res,
     )
 
 
@@ -661,6 +678,7 @@ def _fused_full_run(
     under ONE jit: a single host dispatch for the complete adaptive run."""
     warm_kwargs = dict(warm_statics)
     run_kwargs = dict(run_statics)
+    chees = warm_kwargs.get("trajectory", "fixed") == "chees"
     spec = list(spec_t)
     q0 = pack_positions(positions, spec)
     kw, kr = jax.random.split(k)
@@ -668,11 +686,14 @@ def _fused_full_run(
     seed_r = jax.random.randint(kr, (), 0, 2**31 - 1)
 
     if mesh is None:
-        qw, eps, im = fused_warmup_run(
+        warm_out = fused_warmup_run(
             potential, q0, seed_w, initial_step_size, consts, **warm_kwargs
         )
+        qw, eps, im = warm_out[:3]
+        T = warm_out[3] if chees else None
         res = fused_potential_hmc_run(
-            potential, qw, seed_r, eps, im, consts, **run_kwargs
+            potential, qw, seed_r, eps, im, consts,
+            **(dict(run_kwargs, traj_length=T) if chees else run_kwargs),
         )
         collected = (
             (res.mean, res.variance) if collect == "moments" else (res.draws,)
@@ -684,32 +705,38 @@ def _fused_full_run(
 
         def device_run(sw, sr, q0_l, consts_l):
             ax = jax.lax.axis_index("chain")
-            qw, eps_l, im_l = fused_warmup_run(
+            warm_out = fused_warmup_run(
                 potential, q0_l, sw + ax, initial_step_size, consts_l,
                 **warm_kwargs,
             )
+            qw, eps_l, im_l = warm_out[:3]
+            T_l = warm_out[3] if chees else jnp.zeros_like(eps_l)
             r = fused_potential_hmc_run(
-                potential, qw, sr + ax, eps_l, im_l, consts_l, **run_kwargs
+                potential, qw, sr + ax, eps_l, im_l, consts_l,
+                **(dict(run_kwargs, traj_length=T_l) if chees
+                   else run_kwargs),
             )
             a = jax.lax.pmean(r.accept_rate, "chain")
             coll = (
                 (r.mean, r.variance) if collect == "moments" else (r.draws,)
             )
-            return coll, a, r.final_positions, eps_l, im_l
+            return coll, a, r.final_positions, eps_l, im_l, T_l
 
         coll_spec = (
             (P("chain", None), P("chain", None))
             if collect == "moments"
             else (P(None, "chain", None),)
         )
-        collected, acc, qf, eps, im = shard_map(
+        collected, acc, qf, eps, im, T = shard_map(
             device_run,
             mesh=mesh,
             in_specs=(P(), P(), P("chain", None), P()),
             out_specs=(coll_spec, P(), P("chain", None), P("chain"),
-                       P("chain", None)),
+                       P("chain", None), P("chain")),
             check_vma=False,  # pallas_call does not annotate vma
         )(seed_w, seed_r, q0, consts)
+        if not chees:
+            T = None
 
     final_positions = unpack_draws(qf, spec)
     if collect == "moments":
@@ -722,6 +749,7 @@ def _fused_full_run(
             mean=unpack_draws(mean, spec),
             variance=unpack_draws(variance, spec),
             final_positions=final_positions,
+            trajectory_length=T,
         )
     (draws,) = collected
     return FusedModelResult(
@@ -730,6 +758,7 @@ def _fused_full_run(
         step_size=eps,
         inverse_mass=im,
         final_positions=final_positions,
+        trajectory_length=T,
     )
 
 
@@ -737,11 +766,11 @@ def _fused_warmup_path(
     potential, consts, spec, initial_positions, key, *,
     num_warmup, num_leapfrog, initial_step_size, block_chains, mesh,
     interpret, host_noise, collect, trajectory, run_kwargs,
-    init_search=False,
+    init_search=False, max_leapfrog=256,
 ) -> FusedModelResult:
-    if trajectory != "fixed":
-        raise ValueError("warmup='fused' requires trajectory='fixed' "
-                         "(use warmup='xla' for ChEES)")
+    if trajectory not in ("fixed", "chees"):
+        raise ValueError(f"unknown {trajectory=}; use 'fixed' or 'chees'")
+    chees = trajectory == "chees"
     warm_statics = (
         ("num_warmup", num_warmup),
         ("num_leapfrog", num_leapfrog),
@@ -749,7 +778,15 @@ def _fused_warmup_path(
         ("interpret", interpret),
         ("host_noise", host_noise),
         ("init_search", init_search),
+        ("trajectory", trajectory),
+        ("max_leapfrog", max_leapfrog),
+        # ChEES paper target acceptance (Hoffman/Radul/Sountsov 2021)
+        ("target_accept", 0.651 if chees else 0.8),
     )
+    if chees:
+        run_kwargs = dict(
+            run_kwargs, trajectory="chees", max_leapfrog=max_leapfrog
+        )
     return _fused_full_run(
         initial_positions, key, consts,
         potential=potential,
