@@ -342,6 +342,57 @@ def main():
         except Exception as e:  # never let the diagnostic kill the score
             _progress(f"general-kernel phase failed: {e!r}")
 
+    # -- ChEES phase (round 5): in-kernel trajectory adaptation + jittered
+    # traced-length sampling, same end-to-end protocol.  ChEES measured
+    # 3.9-5.3x fixed-L ESS/s on the XLA path (round 4); the headline
+    # records whichever algorithm honestly maximizes end-to-end ESS/s.
+    chees_rate = None
+    chees_T = None
+    if os.environ.get("BENCH_CHEES", "1") == "1":
+        from binf_tpu.ops.pallas.fused_potential import fused_potential_hmc_run
+
+        @jax.jit
+        def full_run_chees(q0, seed):
+            qw, eps_c, im_c, T = fused_warmup_run(
+                potential, q0, seed, 0.1, consts, num_warmup=N_WARMUP,
+                trajectory="chees", max_leapfrog=128, target_accept=0.651,
+                **kern_kwargs,
+            )
+            r = fused_potential_hmc_run(
+                potential, qw, seed + 1, eps_c, jnp.mean(im_c, axis=0),
+                consts, num_steps=N_SAMPLES, trajectory="chees",
+                traj_length=T, max_leapfrog=128,
+                steps_per_block=min(50, N_SAMPLES), **kern_kwargs,
+            )
+            return r.draws, r.accept_rate, T
+
+        try:
+            t0 = time.perf_counter()
+            cdraws, cacc, cT = full_run_chees(q_init, 500)
+            jax.block_until_ready(cdraws)
+            _progress(
+                f"chees kernel compiled + first run: "
+                f"{time.perf_counter() - t0:.1f}s cold"
+            )
+            c_times = []
+            for i in range(REPS):
+                t0 = time.perf_counter()
+                cdraws, cacc, cT = full_run_chees(q_init, 500 + 2 * i + 2)
+                jax.block_until_ready(cdraws)
+                c_times.append(time.perf_counter() - t0)
+            c_e2e = float(np.mean(c_times))
+            c_ess = float(min_ess(cdraws))
+            chees_rate = c_ess / c_e2e
+            chees_T = float(jnp.mean(cT))
+            _progress(
+                f"chees ({REPS} scored runs): {c_e2e*1e3:.1f}ms/run, "
+                f"min_ess={c_ess:.3g}, {chees_rate:.3g} ESS/s = "
+                f"{chees_rate / rate:.2f}x fixed-L, T={chees_T:.2f}, "
+                f"accept={float(cacc):.2f}"
+            )
+        except Exception as e:  # never let the new phase kill the score
+            _progress(f"chees phase failed: {e!r}")
+
     rng = np.random.default_rng(0)
     base_rates = []
     for _ in range(BASELINE_REPS):
@@ -354,13 +405,25 @@ def main():
         f"(spread {min(base_rates):.1f}-{max(base_rates):.1f})"
     )
 
+    # headline = the honest best algorithm at the same protocol
+    algorithm = "fixed-L fused HMC"
+    best_rate = rate
+    if chees_rate is not None and chees_rate > rate:
+        algorithm = "in-kernel ChEES-HMC (jittered trajectories)"
+        best_rate = chees_rate
+
     record = {
         "metric": "effective samples/sec/chip, polynomial posterior "
         f"(adaptive HMC end-to-end incl. warmup, {N_CHAINS} chains)",
-        "value": round(rate, 1),
+        "value": round(best_rate, 1),
         "unit": "ESS/s",
-        "vs_baseline": round(rate / base, 1),
+        "vs_baseline": round(best_rate / base, 1),
+        "algorithm": algorithm,
+        "fixed_l_ess_per_sec": round(rate, 1),
     }
+    if chees_rate is not None:
+        record["chees_ess_per_sec"] = round(chees_rate, 1)
+        record["chees_mean_trajectory"] = round(chees_T, 3)
     if gen_rate is not None:
         # the any-model general-kernel path at the identical protocol,
         # recorded beside the hand-tiled headline as a regression signal

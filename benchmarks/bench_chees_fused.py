@@ -37,32 +37,52 @@ def main():
     )
 
     on_cpu = jax.default_backend() == "cpu"
+    model = os.environ.get("CHEES_MODEL", "polynomial")
     C = int(os.environ.get("CHEES_CHAINS", "256" if on_cpu else "16384"))
     N_WARM = int(os.environ.get("CHEES_WARMUP", "100" if on_cpu else "500"))
     N_SAMP = int(os.environ.get("CHEES_SAMPLES", "200" if on_cpu else "1000"))
     REPS = 2 if on_cpu else 4
 
-    xses, ys = make_data(jax.random.key(1))
-    V = vandermonde(jnp.linspace(-2.0, 2.0, 20), 4)
-    logdensity = linreg_unconstrained_logdensity(
-        V, ys, jnp.ones(4) * 5.0, 1.0, 0.2
-    )
-    template = {
-        "coefficients": jnp.zeros((4,), jnp.float32),
-        "precision": jnp.zeros((), jnp.float32),
-    }
+    if model == "polynomial":
+        xses, ys = make_data(jax.random.key(1))
+        V = vandermonde(jnp.linspace(-2.0, 2.0, 20), 4)
+        logdensity = linreg_unconstrained_logdensity(
+            V, ys, jnp.ones(4) * 5.0, 1.0, 0.2
+        )
+        template = {
+            "coefficients": jnp.zeros((4,), jnp.float32),
+            "precision": jnp.zeros((), jnp.float32),
+        }
+    else:
+        from binf_tpu.cli import _unconstrain_batch, build_model
+        from binf_tpu.ops.pallas.fused_potential import pack_positions as _pp
+        from binf_tpu.pdf.transforms import transform_logdensity
+
+        posterior, init_fn, transforms = build_model(model, jax.random.key(1))
+        posterior = jax.device_get(posterior)
+        logdensity = transform_logdensity(
+            lambda p: posterior.log_prob(p), transforms
+        )
+        upos = _unconstrain_batch(transforms, init_fn(C, key=jax.random.key(2)))
+        template = jax.tree.map(lambda a: a[0], upos)
     potential, consts, _ = tile_potential_from_scalar(logdensity, template)
-    q_init = jnp.concatenate(
-        [jnp.ones((C, 4)) + 0.1 * jax.random.normal(jax.random.key(2), (C, 4)),
-         jnp.zeros((C, 1))], axis=1,
-    )
+    if model == "polynomial":
+        q_init = jnp.concatenate(
+            [jnp.ones((C, 4))
+             + 0.1 * jax.random.normal(jax.random.key(2), (C, 4)),
+             jnp.zeros((C, 1))], axis=1,
+        )
+    else:
+        q_init = _pp(upos)
     kern = dict(block_chains=C, interpret=on_cpu, host_noise=on_cpu)
 
     @jax.jit
     def min_ess(draws):
-        coeff = ess(draws[:, :, :4])
-        prec = ess(jnp.exp(draws[:, :, 4]))
-        return jnp.minimum(jnp.min(coeff), prec)
+        if model == "polynomial":
+            coeff = ess(draws[:, :, :4])
+            prec = ess(jnp.exp(draws[:, :, 4]))
+            return jnp.minimum(jnp.min(coeff), prec)
+        return jnp.min(ess(draws))
 
     def score(name, full_run, extra=None):
         t0 = time.perf_counter()
@@ -147,9 +167,10 @@ def main():
             kernel, k, s, N_SAMP,
             collect=lambda st, info: (st.position, info.accepted),
         ))(states, jax.random.key(seed + 1))
-        draws = jnp.concatenate(
-            [samples["coefficients"],
-             samples["precision"][..., None]], axis=-1,
+        from binf_tpu.ops.pallas.fused_potential import pack_positions as _pk
+
+        draws = jax.vmap(lambda t: _pk(t, spec))(
+            jax.tree.map(lambda a: a, samples)
         )
         return draws, jnp.mean(acc)
 

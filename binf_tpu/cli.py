@@ -133,6 +133,11 @@ def main(argv=None):
                          "measured winner (fused Pallas kernel vs XLA "
                          "scan) for this model/shape -- see "
                          "samplers/auto.py and docs/performance.md")
+    ap.add_argument("--no-reroute", action="store_true",
+                    help="run the requested sampler even where the router "
+                         "has measured it losing (e.g. NUTS on a cheap "
+                         "density pays a 39-119x lockstep tree overhead; "
+                         "samplers/auto.py::route_trajectory_sampler)")
     ap.add_argument("--init", default="default",
                     choices=["default", "pathfinder"],
                     help="chain initialization: the model's init_fn, or "
@@ -409,6 +414,8 @@ def main(argv=None):
         logdensity = transform_logdensity(
             lambda p: posterior.log_prob(p), transforms
         )
+        sampler = args.algorithm
+        reroute_reason = None
 
         if args.algorithm == "chees":
             from binf_tpu.samplers.chees import chees_adaptation, chees_hmc
@@ -456,18 +463,27 @@ def main(argv=None):
             from binf_tpu.samplers.nuts import nuts
             from binf_tpu.samplers.rwm import rwm
 
-            def builder(step_size, inverse_mass):
-                if args.algorithm == "hmc":
-                    return hmc(logdensity, step_size, 10, inverse_mass)
-                if args.algorithm == "nuts":
-                    return nuts(logdensity, step_size, 8, inverse_mass)
-                if args.algorithm == "mala":
-                    return mala(logdensity, step_size)
-                return rwm(logdensity, step_size)
-
             u_positions = _init_positions(
                 args, logdensity, init_fn, transforms, args.chains, k_init
             )
+
+            if sampler == "nuts" and not args.no_reroute:
+                from binf_tpu.samplers.auto import route_trajectory_sampler
+
+                sampler, reroute_reason = route_trajectory_sampler(
+                    "nuts", logdensity, u_positions
+                )
+                if sampler != "nuts":
+                    print(f"# {reroute_reason}", file=sys.stderr)
+
+            def builder(step_size, inverse_mass):
+                if sampler == "hmc":
+                    return hmc(logdensity, step_size, 10, inverse_mass)
+                if sampler == "nuts":
+                    return nuts(logdensity, step_size, 8, inverse_mass)
+                if sampler == "mala":
+                    return mala(logdensity, step_size)
+                return rwm(logdensity, step_size)
             samples, _, adapt = warmup_and_run(
                 builder, u_positions, k_run,
                 num_warmup=args.warmup, num_samples=args.samples,
@@ -478,6 +494,9 @@ def main(argv=None):
         elapsed = time.perf_counter() - t0
         samples = _constrain_batch(transforms, samples)
         out = _summarize(args, samples, elapsed, burn=0)
+        if sampler != args.algorithm:
+            out["sampler"] = sampler
+            out["reroute_reason"] = reroute_reason
 
     line = json.dumps(out, indent=2)
     print(line)

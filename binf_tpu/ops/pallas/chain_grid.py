@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -168,7 +169,27 @@ def _uniform(shape):
     return ubits.astype(jnp.float32) * (1.0 / (1 << 23)) + (0.5 / (1 << 23))
 
 
+_BM_PAIRED = os.environ.get("BINF_BM_PAIRED", "0") == "1"
+
+
 def _normal(shape):
+    """Standard normals via Box-Muller (discard-sin form).
+
+    The paired form (each (u1, u2) yielding BOTH the cos and sin normals,
+    halving random bits + transcendentals) was MEASURED AND RETIRED in
+    round 5: at the headline shape it runs 5-8% SLOWER (150.8/145.9 ms vs
+    139.1 ms A/B on v5e) -- the hardware PRNG makes bits nearly free and
+    exp is at 0.4% of its ceiling (roofline), so the sublane concatenate
+    costs more than the arithmetic it saves.  BINF_BM_PAIRED=1 re-enables
+    it for reproduction (changes the device-PRNG draw stream)."""
+    if _BM_PAIRED and shape[0] % 2 == 0:
+        h = shape[0] // 2
+        u1 = jnp.maximum(_uniform((h, shape[1])), 1e-12)
+        u2 = _uniform((h, shape[1]))
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = _TWO_PI * u2
+        return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
+                               axis=0)
     u1 = jnp.maximum(_uniform(shape), 1e-12)
     u2 = _uniform(shape)
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
@@ -545,8 +566,11 @@ def chain_grid_hmc_run(
             ],
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
+        # 120MB scoped cap (vs the lane kernels' 100MB): the unrolled
+        # S-chain density body is the dominant live set here and N=256
+        # chromatin measured 101.4MB at S=8 -- the chip has 128MB
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(

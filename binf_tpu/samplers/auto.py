@@ -37,7 +37,10 @@ from binf_tpu.samplers.fused import (
 
 Array = jax.Array
 
-__all__ = ["RoutingDecision", "route_algorithm", "adaptive_hmc"]
+__all__ = [
+    "RoutingDecision", "route_algorithm", "adaptive_hmc",
+    "route_trajectory_sampler",
+]
 
 
 class RoutingDecision(NamedTuple):
@@ -159,6 +162,63 @@ def route_algorithm(
         "large-batch feed-forward with d_pad>8: XLA global fusion wins "
         "(hierarchical@8k measured 0.47x fused at every tile width)",
         d, d_pad, n_local, sequential, bc,
+    )
+
+
+def route_trajectory_sampler(
+    requested: str,
+    logdensity_fn: Callable,
+    initial_positions: dict[str, Array],
+) -> tuple[str, str]:
+    """Measured-winner protection for trajectory samplers.
+
+    Batched NUTS on TPU pays a large masked-tree overhead that depth
+    capping CANNOT remove: on the hierarchical target (2048 chains, 200
+    steps, v5e, round 5) the observed doubling depth is q90 = 3, yet NUTS
+    runs 39x slower than fixed-L HMC even capped at max_doublings=4 (and
+    97-119x at 5-8) -- the cost is per-leaf tree bookkeeping executed in
+    lockstep for every chain, not the depth tail.  NUTS is therefore worth
+    its overhead only when gradient evaluations are the scarce resource
+    (its ESS per gradient is ~10x fixed-L): data-heavy densities in the
+    sense of the router's VMEM cost model (chromatin-class restraint
+    fields), where a single gradient dwarfs the tree bookkeeping.
+
+    Returns ``(sampler, reason)``: the requested sampler if it survives the
+    rules, otherwise the measured winner.  Callers that must honor the
+    literal request (benchmarks, diagnostics) simply skip this router.
+    """
+    if requested != "nuts":
+        return requested, f"requested {requested!r} (no reroute rule)"
+
+    import numpy as _np
+
+    template = jax.tree.map(lambda x: x[0], initial_positions)
+    try:
+        _, consts, spec = _cached_tile_potential(logdensity_fn, template)
+        d = sum(size for _, _, size in spec)
+        c_tot = sum(
+            int(_np.prod(v.shape)) if getattr(v, "shape", ()) else 1
+            for v in consts.values()
+        )
+    except Exception:
+        # not tile-compilable usually means an expensive/structured
+        # density -- treat as gradient-scarce and honor the request
+        return "nuts", (
+            "nuts honored: density not tile-compilable (treated as "
+            "gradient-scarce)"
+        )
+    d_pad = ((d + 7) // 8) * 8
+    per_lane = 4 * 32 * (d_pad + c_tot)
+    if per_lane * 512 > 100 * 1024 * 1024:
+        return "nuts", (
+            "nuts honored: data-heavy density (gradient evaluations are "
+            "the scarce resource; NUTS ESS/grad ~10x fixed-L)"
+        )
+    return "hmc", (
+        "nuts rerouted to fixed-L HMC: cheap density, and batched NUTS "
+        "pays a 39-119x lockstep masked-tree overhead on TPU at every "
+        "max_doublings (depth q90=3 yet D=4 cap still 39x; round-5 "
+        "measurement, docs/performance.md); pass --no-reroute to force"
     )
 
 

@@ -262,8 +262,12 @@ def dense_window_adaptation(
             Pc = Pc + eps * gc
             return (Qc, Pc, ldc, gc), None
 
+        # unrolled: a scan here nests inside the outer warmup scan, and XLA
+        # schedules scan-in-scan poorly (same pathology as the statespace
+        # family) -- unrolling lets the leapfrog fuse into the step body
         (Qn, Pn, ldn, gn), _ = jax.lax.scan(
-            leap, (Q, Pk, ld, g), None, length=num_integration_steps
+            leap, (Q, Pk, ld, g), None, length=num_integration_steps,
+            unroll=True,
         )
         Pn = Pn - 0.5 * eps * gn
 

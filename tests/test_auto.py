@@ -129,6 +129,35 @@ def test_route_3d_constant_density_to_xla():
     assert res.samples["x"].shape[0] == 30
 
 
+def test_route_nuts_rerouted_on_cheap_density():
+    """NUTS on a cheap density: batched lockstep tree overhead measured
+    39-119x fixed-L at every max_doublings (round 5) -> reroute."""
+    from binf_tpu.samplers.auto import route_trajectory_sampler
+
+    logdensity, positions = _family("hierarchical", 64)
+    sampler, reason = route_trajectory_sampler("nuts", logdensity, positions)
+    assert sampler == "hmc"
+    assert "lockstep" in reason
+
+
+def test_route_nuts_honored_on_data_heavy_density():
+    """Chromatin-class density: gradients are the scarce resource, NUTS's
+    ~10x ESS/grad advantage is worth the tree overhead -> honored."""
+    from binf_tpu.samplers.auto import route_trajectory_sampler
+
+    logdensity, positions = _family("chromatin", 8)
+    sampler, reason = route_trajectory_sampler("nuts", logdensity, positions)
+    assert sampler == "nuts"
+    assert reason.startswith("nuts honored")
+
+
+def test_route_non_nuts_passthrough():
+    from binf_tpu.samplers.auto import route_trajectory_sampler
+
+    logdensity, positions = _family("polynomial", 16)
+    assert route_trajectory_sampler("mala", logdensity, positions)[0] == "mala"
+
+
 def test_route_mesh_uses_per_device_chains():
     """8192 chains over an 8-device mesh = 1024/device -> the small-batch
     rule fires even though the global batch is large."""

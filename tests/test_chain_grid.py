@@ -43,6 +43,7 @@ def test_potential_matches_value_and_grad():
         np.testing.assert_allclose(np.asarray(g[k]), np.asarray(g_ref[k]))
 
 
+@pytest.mark.slow
 def test_chain_grid_samples_gaussian():
     """Exact moments on a factorized Gaussian with mixed-rank variables
     (2-D matrix + scalar), anisotropic metric, 8-chain blocks."""
@@ -63,6 +64,7 @@ def test_chain_grid_samples_gaussian():
     assert abs(ys.mean()) < 0.1 and abs(ys.std() - 1.0) < 0.1
 
 
+@pytest.mark.slow
 def test_chain_grid_moments_match_draws():
     ld, template, _ = _gaussian_model()
     pot, consts, _ = chain_grid_potential_from_scalar(ld, template)
@@ -149,6 +151,7 @@ def test_gram_logdensity_matches_posterior():
     assert abs(d1 - d2) < 1e-2  # value differs by a constant only
 
 
+@pytest.mark.slow
 def test_chain_grid_chromatin_samples():
     """The reference's application workload through the chain-grid kernel
     (interpret mode): finite draws, healthy acceptance, precision

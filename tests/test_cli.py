@@ -47,6 +47,20 @@ def test_cli_default_auto_routes_and_reports():
     assert abs(means[1] + 4.0) < 0.8
 
 
+def test_cli_nuts_rerouted_with_reason():
+    """--algorithm nuts on a cheap density is rerouted to fixed-L HMC
+    (measured 39-119x lockstep tree overhead, round 5) with the reason
+    recorded; --no-reroute is the escape hatch."""
+    out = main([
+        "--model", "polynomial", "--algorithm", "nuts",
+        "--chains", "32", "--warmup", "100", "--samples", "100",
+    ])
+    assert out["sampler"] == "hmc"
+    assert "lockstep" in out["reroute_reason"]
+    means = out["summary"]["coefficients"]["mean"]
+    assert abs(means[1] + 4.0) < 0.8
+
+
 def test_cli_auto_forwards_fused_flags():
     """--algorithm auto must honor fused-only flags instead of silently
     dropping them (ADVICE round 4): a fused-routed run with

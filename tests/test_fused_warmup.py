@@ -215,10 +215,12 @@ def test_warmup_fused_guards():
             _logdensity, init, jax.random.key(0),
             warmup="fused", per_chain_step_size=True,
         )
+    # round 5: warmup='fused' + trajectory='chees' is now SUPPORTED (the
+    # in-kernel ChEES path); an unknown trajectory still raises
     with pytest.raises(ValueError, match="trajectory"):
         fused_model_hmc(
             _logdensity, init, jax.random.key(0),
-            warmup="fused", trajectory="chees",
+            warmup="fused", trajectory="bogus",
         )
     potential, consts, _, q0 = _build(32)
     with pytest.raises(ValueError, match="host_noise"):
