@@ -1,4 +1,10 @@
-from binf_tpu.samplers.auto import RoutingDecision, adaptive_hmc, route_algorithm
+from binf_tpu.samplers.auto import (
+    RoutingDecision,
+    adaptive_hmc,
+    route_algorithm,
+    route_trajectory_sampler,
+)
+from binf_tpu.samplers.chain_grid import chain_grid_model_hmc
 from binf_tpu.samplers.adaptation import (
     DualAveragingState,
     dual_averaging_init,
@@ -51,7 +57,9 @@ __all__ = [
     "RoutingDecision",
     "adaptive_hmc",
     "route_algorithm",
+    "route_trajectory_sampler",
     "ChEESResult",
+    "chain_grid_model_hmc",
     "chees_adaptation",
     "chees_hmc",
     "DualAveragingState",
