@@ -128,7 +128,7 @@ def main(argv=None):
     ap.add_argument("--algorithm", default="auto",
                     choices=["auto", "hmc", "nuts", "chees", "rwm", "mala",
                              "gibbs", "smc", "advi", "laplace", "svgd",
-                             "fused", "pathfinder"],
+                             "fused", "chain-grid", "pathfinder"],
                     help="'auto' (default) routes adaptive HMC to the "
                          "measured winner (fused Pallas kernel vs XLA "
                          "scan) for this model/shape -- see "
@@ -159,8 +159,9 @@ def main(argv=None):
                     help="seed warmup with find_reasonable_step_size "
                          "(Hoffman & Gelman Algorithm 4) instead of --step-size")
     ap.add_argument("--trajectory", default="fixed", choices=["fixed", "chees"],
-                    help="fused algorithm: trajectory-length source "
-                         "(chees = ChEES-adapted, frozen to a static count)")
+                    help="fused algorithm: trajectory-length source (chees "
+                         "= ChEES-adapted mean length T, sampled in-kernel "
+                         "with halton-jittered TRACED trajectory bounds)")
     ap.add_argument("--warmup-mode", default="xla",
                     choices=["xla", "fused", "dense"],
                     help="fused algorithm: adaptation on the XLA path, "
@@ -323,6 +324,46 @@ def main(argv=None):
         jax.block_until_ready(samples)
         elapsed = time.perf_counter() - t0
         out = _summarize(args, samples, elapsed, burn=args.samples // 4)
+
+    elif args.algorithm == "chain-grid":
+        # chain-grid fused kernel: chains on the Pallas grid, data in
+        # lanes -- the fusibility path for data-heavy densities whose
+        # per-chain intermediates blow the lane kernel's VMEM
+        # (docs/performance.md "Chain-grid kernel")
+        from binf_tpu.samplers.chain_grid import chain_grid_model_hmc
+
+        logdensity = transform_logdensity(
+            lambda p: posterior.log_prob(p), transforms
+        )
+        u_positions = _init_positions(
+            args, logdensity, init_fn, transforms, args.chains, k_init
+        )
+        result = chain_grid_model_hmc(
+            logdensity, u_positions, k_run,
+            num_warmup=args.warmup, num_samples=args.samples,
+            initial_step_size=(
+                None if args.auto_step_size else args.step_size
+            ),
+            thin=args.thin, mesh=mesh, collect=args.collect,
+        )
+        if args.collect == "moments":
+            jax.block_until_ready(result.mean)
+            elapsed = time.perf_counter() - t0
+            out = {
+                "model": args.model, "algorithm": "chain-grid",
+                "chains": args.chains, "space": "unconstrained",
+                "elapsed_sec": round(elapsed, 3),
+                "posterior_means": {
+                    k: jnp.mean(v, axis=0).tolist()
+                    for k, v in result.mean.items()
+                },
+            }
+        else:
+            jax.block_until_ready(result.samples)
+            elapsed = time.perf_counter() - t0
+            samples = _constrain_batch(transforms, result.samples)
+            out = _summarize(args, samples, elapsed, burn=0)
+        out["accept_rate"] = round(float(result.accept_rate), 4)
 
     elif args.algorithm in ("fused", "auto"):
         # whole-run fused HMC kernel (general path, works for ANY model via

@@ -94,6 +94,7 @@ def test_chain_grid_moments_match_draws():
         )
 
 
+@pytest.mark.slow
 def test_chain_grid_resume_bitwise():
     """block_offset resume: two chained 50-step calls replay one 100-step
     run bitwise (the checkpoint contract shared with the lane kernel)."""
@@ -116,6 +117,7 @@ def test_chain_grid_resume_bitwise():
         )
 
 
+@pytest.mark.slow
 def test_gram_logdensity_matches_posterior():
     """The Gram-form chromatin density equals the production posterior
     (constant offset in value, exact in gradient)."""

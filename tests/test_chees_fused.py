@@ -47,6 +47,7 @@ def test_fused_chees_sampling_preserves_target():
     np.testing.assert_allclose(draws.std(0), SCALES, rtol=0.12)
 
 
+@pytest.mark.slow
 def test_fused_model_chees_xla_warmup_jittered_kernel():
     """fused_model_hmc(trajectory='chees'): ChEES warmup on the XLA path,
     then the JITTERED fused kernel (traced loop bound, not a frozen L)."""
@@ -67,6 +68,7 @@ def test_fused_model_chees_xla_warmup_jittered_kernel():
     np.testing.assert_allclose(draws.std(0), SCALES, rtol=0.2)
 
 
+@pytest.mark.slow
 def test_fused_chees_full_in_kernel():
     """The round-5 headline path: ChEES trajectory adaptation INSIDE the
     fused warmup kernel (Adam on log T, tile-pooled surrogate gradient),

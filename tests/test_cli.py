@@ -47,6 +47,20 @@ def test_cli_default_auto_routes_and_reports():
     assert abs(means[1] + 4.0) < 0.8
 
 
+@pytest.mark.slow
+def test_cli_chain_grid_algorithm():
+    """--algorithm chain-grid: the data-in-lanes kernel end to end."""
+    out = main([
+        "--model", "polynomial", "--algorithm", "chain-grid",
+        "--chains", "32", "--warmup", "100", "--samples", "100",
+    ])
+    assert out["algorithm"] == "chain-grid"
+    assert 0.5 < out["accept_rate"] <= 1.0
+    means = out["summary"]["coefficients"]["mean"]
+    assert abs(means[1] + 4.0) < 0.8
+
+
+@pytest.mark.slow
 def test_cli_nuts_rerouted_with_reason():
     """--algorithm nuts on a cheap density is rerouted to fixed-L HMC
     (measured 39-119x lockstep tree overhead, round 5) with the reason
@@ -61,6 +75,7 @@ def test_cli_nuts_rerouted_with_reason():
     assert abs(means[1] + 4.0) < 0.8
 
 
+@pytest.mark.slow
 def test_cli_auto_forwards_fused_flags():
     """--algorithm auto must honor fused-only flags instead of silently
     dropping them (ADVICE round 4): a fused-routed run with
@@ -150,7 +165,7 @@ def test_cli_fused_hierarchical():
 @pytest.mark.slow
 def test_cli_logistic_nuts():
     out = main([
-        "--model", "logistic", "--algorithm", "nuts",
+        "--model", "logistic", "--algorithm", "nuts", "--no-reroute",
         "--chains", "16", "--warmup", "300", "--samples", "300",
     ])
     means = out["summary"]["weights"]["mean"]
