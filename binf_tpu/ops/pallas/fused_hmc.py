@@ -178,21 +178,24 @@ def _kernel(
         U0, g = potential_and_grad(q)
         E0 = U0 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
 
-        # leapfrog: half kick, L x (drift, kick), retract half
+        # leapfrog: half kick, L x (drift, kick), retract half.  The carry
+        # holds (q, p, U, grad) so a trajectory costs exactly
+        # num_leapfrog + 1 potential evaluations (round 5: the earlier form
+        # re-evaluated the endpoint twice -- L+3 evals, ~10% of sampling
+        # wall at L=10)
         p = p - 0.5 * eps * g
 
-        def leap(_, qp):
-            q, p = qp
+        def leap(_, carry4):
+            q, p, _, _ = carry4
             q = q + eps * p * im
-            _, g = potential_and_grad(q)
+            u_, g = potential_and_grad(q)
             p = p - eps * g
-            return (q, p)
+            return (q, p, u_, g)
 
-        q_new, p = jax.lax.fori_loop(0, num_leapfrog, leap, (q, p))
-        _, g_end = potential_and_grad(q_new)
+        q_new, p, U1, g_end = jax.lax.fori_loop(
+            0, num_leapfrog, leap, (q, p, U0, g)
+        )
         p = p + 0.5 * eps * g_end
-
-        U1, _ = potential_and_grad(q_new)
         E1 = U1 + 0.5 * jnp.sum(p * p * im, axis=0, keepdims=True)
 
         if host_noise:
