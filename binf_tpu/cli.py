@@ -459,23 +459,58 @@ def main(argv=None):
         reroute_reason = None
 
         if args.algorithm == "chees":
-            from binf_tpu.samplers.chees import chees_adaptation, chees_hmc
-
             u_positions = _init_positions(
                 args, logdensity, init_fn, transforms, args.chains, k_init
             )
-            adapt = jax.jit(
-                lambda k: chees_adaptation(
-                    logdensity, u_positions, k, num_steps=args.warmup,
-                    initial_step_size=args.step_size,
+            # fused in-kernel ChEES when the density tile-compiles (traced
+            # jittered trajectory bounds; measured 33-40x the XLA ChEES
+            # path end-to-end, docs/performance.md); XLA otherwise
+            from binf_tpu.ops.pallas.tile_interpreter import (
+                UnsupportedPrimitiveError,
+            )
+            from binf_tpu.samplers.fused import _cached_tile_potential
+
+            try:
+                _cached_tile_potential(
+                    logdensity, jax.tree.map(lambda x: x[0], u_positions)
                 )
-            )(k_run)
-            kernel = chees_hmc(logdensity, adapt.step_size,
-                               adapt.trajectory_length, adapt.inverse_mass)
-            states = jax.vmap(kernel.init)(adapt.final_positions)
-            _, samples = jax.jit(
-                lambda s, k: run_chains(kernel, k, s, args.samples)
-            )(states, jax.random.fold_in(k_run, 1))
+                fused_ok = True
+            except (UnsupportedPrimitiveError, ValueError):
+                fused_ok = False
+            if fused_ok:
+                from binf_tpu.samplers.fused import fused_model_hmc
+
+                result = fused_model_hmc(
+                    logdensity, u_positions, k_run,
+                    num_warmup=args.warmup, num_samples=args.samples,
+                    initial_step_size=(
+                        None if args.auto_step_size else args.step_size
+                    ),
+                    trajectory="chees",
+                    warmup=(
+                        args.warmup_mode if args.warmup_mode != "dense"
+                        else "xla"
+                    ),
+                    thin=args.thin, mesh=mesh,
+                )
+                samples = result.samples
+                sampler = "chees (fused in-kernel)"
+            else:
+                from binf_tpu.samplers.chees import chees_adaptation, chees_hmc
+
+                adapt = jax.jit(
+                    lambda k: chees_adaptation(
+                        logdensity, u_positions, k, num_steps=args.warmup,
+                        initial_step_size=args.step_size,
+                    )
+                )(k_run)
+                kernel = chees_hmc(logdensity, adapt.step_size,
+                                   adapt.trajectory_length, adapt.inverse_mass)
+                states = jax.vmap(kernel.init)(adapt.final_positions)
+                _, samples = jax.jit(
+                    lambda s, k: run_chains(kernel, k, s, args.samples)
+                )(states, jax.random.fold_in(k_run, 1))
+                sampler = "chees (xla)"
         elif args.algorithm == "hmc" and args.metric == "dense":
             from binf_tpu.samplers.dense import dense_hmc, dense_window_adaptation
 
@@ -537,7 +572,8 @@ def main(argv=None):
         out = _summarize(args, samples, elapsed, burn=0)
         if sampler != args.algorithm:
             out["sampler"] = sampler
-            out["reroute_reason"] = reroute_reason
+            if reroute_reason is not None:
+                out["reroute_reason"] = reroute_reason
 
     line = json.dumps(out, indent=2)
     print(line)
