@@ -154,6 +154,35 @@ def test_gram_logdensity_matches_posterior():
 
 
 @pytest.mark.slow
+def test_chain_grid_model_hmc_sharded_mesh():
+    """chain_grid_model_hmc(mesh=...): one chain-grid kernel per device
+    over the sharded chain axis, pooled accept via pmean, draws sharded
+    back on the chain axis."""
+    from binf_tpu.parallel.mesh import make_chain_mesh
+    from binf_tpu.samplers.chain_grid import chain_grid_model_hmc
+
+    mesh = make_chain_mesh()
+    if mesh.shape["chain"] < 2:
+        pytest.skip("needs a multi-device mesh")
+    ld, template, m = _gaussian_model()
+    n_dev = mesh.shape["chain"]
+    C = 16 * n_dev
+    positions = {
+        "x": jnp.zeros((C, 3, 2)),
+        "y": jnp.zeros((C,)),
+    }
+    res = chain_grid_model_hmc(
+        ld, positions, jax.random.key(0),
+        num_warmup=100, num_samples=200, num_leapfrog=5,
+        block_chains=8, mesh=mesh,
+    )
+    assert res.samples["x"].shape == (200, C, 3, 2)
+    assert 0.4 < float(res.accept_rate) <= 1.0
+    xs = np.asarray(res.samples["x"])[100:]
+    np.testing.assert_allclose(xs.mean((0, 1)), np.asarray(m), atol=0.2)
+
+
+@pytest.mark.slow
 def test_chain_grid_chromatin_samples():
     """The reference's application workload through the chain-grid kernel
     (interpret mode): finite draws, healthy acceptance, precision
