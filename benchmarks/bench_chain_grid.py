@@ -8,7 +8,7 @@ at natural per-chain shapes, so VMEM holds one chain block + one copy of
 the (N, N) constants.  Times the sampling phase (identical calibration)
 for:
 
-* chain-grid fused, S in {4, 8, 16};
+* chain-grid fused, S in {8, 16, 32} (the kernel requires S % 8 == 0);
 * XLA scan(vmap(hmc)) on the SAME Gram-form density;
 * XLA scan(vmap(hmc)) on the original broadcast-form density (what the
   router shipped in round 4).

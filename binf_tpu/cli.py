@@ -480,6 +480,12 @@ def main(argv=None):
             if fused_ok:
                 from binf_tpu.samplers.fused import fused_model_hmc
 
+                if args.warmup_mode == "dense":
+                    raise ValueError(
+                        "--algorithm chees does not support "
+                        "--warmup-mode dense (the dense metric pairs with "
+                        "fixed trajectories); use --warmup-mode xla/fused"
+                    )
                 result = fused_model_hmc(
                     logdensity, u_positions, k_run,
                     num_warmup=args.warmup, num_samples=args.samples,
@@ -487,10 +493,7 @@ def main(argv=None):
                         None if args.auto_step_size else args.step_size
                     ),
                     trajectory="chees",
-                    warmup=(
-                        args.warmup_mode if args.warmup_mode != "dense"
-                        else "xla"
-                    ),
+                    warmup=args.warmup_mode,
                     thin=args.thin, mesh=mesh,
                 )
                 samples = result.samples

@@ -140,14 +140,13 @@ def chain_grid_potential_from_scalar(logdensity_fn: Callable, template: dict):
         return r.astype(dtype)
 
     jaxpr = vag_closed.jaxpr
-    flat_tpl, tree = jax.tree.flatten(tpl)
-    n_in = len(flat_tpl)
+    n_in = len(jax.tree.leaves(tpl))
 
     def value_and_grad(pos: dict, kernel_consts: dict):
         rebuilt = [_rebuild(kernel_consts, c) for c in const_names]
         leaves = [pos[k] for k in sorted(pos)]
         assert len(leaves) == n_in
-        outs = jax.core.eval_jaxpr(jaxpr, rebuilt, *leaves)
+        outs = _eval_jaxpr_mosaic_safe(jaxpr, rebuilt, *leaves)
         u, grads = outs[0], outs[1:]
         return u, dict(zip(names, grads))
 
@@ -160,39 +159,79 @@ def chain_grid_potential_from_scalar(logdensity_fn: Callable, template: dict):
     return potential, consts, spec
 
 
+def _promote_1d_dot(lhs, rhs, dimension_numbers, **params):
+    """Evaluate a dot_general with 1-D operand(s) in a Mosaic-lowerable
+    form: Mosaic's dot lowering cannot parse dimension numbers with an
+    empty non-contracting set (matvec/vecmat/vecvec), so 1-D operands are
+    promoted to a leading-unit ``(1, n)`` row (a lane-preserving reshape)
+    and the unit axis is squeezed from the result."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    if lb or rb:  # batched 1-D dots don't arise in these densities
+        return jax.lax.dot_general(
+            lhs, rhs, dimension_numbers, **params
+        )
+    lhs2, rhs2 = lhs, rhs
+    lc2, rc2 = list(lc), list(rc)
+    if lhs.ndim == 1:
+        lhs2 = lhs.reshape(1, lhs.shape[0])
+        lc2 = [c + 1 for c in lc2]
+    if rhs.ndim == 1:
+        rhs2 = rhs.reshape(1, rhs.shape[0])
+        rc2 = [c + 1 for c in rc2]
+    out = jax.lax.dot_general(
+        lhs2, rhs2, ((tuple(lc2), tuple(rc2)), ((), ())), **params
+    )
+    # output layout: lhs non-contracting dims then rhs non-contracting
+    # dims; each promoted operand contributed one leading unit dim
+    shape = []
+    if lhs.ndim == 1:
+        if rhs.ndim == 1:
+            return out.reshape(())
+        shape = [d for i, d in enumerate(rhs.shape) if i not in rc]
+        return out.reshape(tuple(shape))
+    shape = [d for i, d in enumerate(lhs.shape) if i not in lc]
+    return out.reshape(tuple(shape))
+
+
+def _eval_jaxpr_mosaic_safe(jaxpr, consts, *args):
+    """``jax.core.eval_jaxpr`` with a dot_general override for 1-D
+    operands (see :func:`_promote_1d_dot`); everything else binds
+    normally."""
+    from jax.extend.core import Literal
+
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, Literal) else env[v]
+
+    def write(v, val):
+        env[v] = val
+
+    for v, c in zip(jaxpr.constvars, consts):
+        write(v, c)
+    for v, a in zip(jaxpr.invars, args):
+        write(v, a)
+    for eqn in jaxpr.eqns:
+        vals = [read(v) for v in eqn.invars]
+        if eqn.primitive.name == "dot_general" and any(
+            getattr(x, "ndim", 2) == 1 for x in vals
+        ):
+            params = dict(eqn.params)
+            dn = params.pop("dimension_numbers")
+            outs = [_promote_1d_dot(vals[0], vals[1], dn, **params)]
+        else:
+            outs = eqn.primitive.bind(*vals, **eqn.params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+        for v, o in zip(eqn.outvars, outs):
+            write(v, o)
+    return [read(v) for v in jaxpr.outvars]
+
+
 # -- in-kernel helpers --------------------------------------------------------
 
 
-def _uniform(shape):
-    bits = pltpu.prng_random_bits(shape)
-    ubits = jnp.bitwise_and(bits, jnp.int32((1 << 23) - 1))
-    return ubits.astype(jnp.float32) * (1.0 / (1 << 23)) + (0.5 / (1 << 23))
-
-
-_BM_PAIRED = os.environ.get("BINF_BM_PAIRED", "0") == "1"
-
-
-def _normal(shape):
-    """Standard normals via Box-Muller (discard-sin form).
-
-    The paired form (each (u1, u2) yielding BOTH the cos and sin normals,
-    halving random bits + transcendentals) was MEASURED AND RETIRED in
-    round 5: at the headline shape it runs 5-8% SLOWER (150.8/145.9 ms vs
-    139.1 ms A/B on v5e) -- the hardware PRNG makes bits nearly free and
-    exp is at 0.4% of its ceiling (roofline), so the sublane concatenate
-    costs more than the arithmetic it saves.  BINF_BM_PAIRED=1 re-enables
-    it for reproduction (changes the device-PRNG draw stream)."""
-    if _BM_PAIRED and shape[0] % 2 == 0:
-        h = shape[0] // 2
-        u1 = jnp.maximum(_uniform((h, shape[1])), 1e-12)
-        u2 = _uniform((h, shape[1]))
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = _TWO_PI * u2
-        return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
-                               axis=0)
-    u1 = jnp.maximum(_uniform(shape), 1e-12)
-    u2 = _uniform(shape)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+from binf_tpu.ops.pallas.prng import _normal, _uniform  # noqa: E402,F401 -- shared in-kernel PRNG (one stream definition for all fused kernels)
 
 
 def _noise_shape(shape):
@@ -270,11 +309,10 @@ def _cg_kernel(
         pltpu.prng_seed(seed_ref[0, 0], i * (1 << 20) + off_ref[0, 0] + j)
 
     consts = {c: ref[:] for c, ref in zip(const_names, const_refs)}
-    # shared metric, rebuilt to natural per-variable shapes (zero-cost
-    # slices of the padded operands)
+    # shared metric: operands are staged in _noise_shape (row) layout, so
+    # a full read + _to_var squeeze recovers the natural per-variable shape
     im = {
-        name: _to_var(im_refs[v][: _noise_shape(shape)[0],
-                                 : _noise_shape(shape)[1]], shape)
+        name: _to_var(im_refs[v][:], shape)
         for v, (name, shape) in enumerate(var_shapes)
     }
 
@@ -444,8 +482,16 @@ def chain_grid_hmc_run(
         q0[k].astype(jnp.float32).reshape((C,) + (q0[k].shape[1:] or (1,)))
         for k in names
     ]
-    im_arrs = [_pad_const(jnp.asarray(inverse_mass[k], jnp.float32))
-               for k in names]
+    # inverse mass staged in _noise_shape (row) layout -- scalar (1, 1),
+    # 1-D (1, n), 2-D (n, m) -- matching the kernel's per-variable slices
+    # exactly.  (_pad_const's column layout for 1-D arrays previously
+    # collapsed a 1-D variable's metric to its first element in-kernel.)
+    im_arrs = [
+        jnp.asarray(inverse_mass[k], jnp.float32).reshape(
+            _noise_shape(tuple(jnp.shape(inverse_mass[k])))
+        )
+        for k in names
+    ]
     const_names = tuple(sorted(consts))
     const_arrays = [_pad_const(consts[k]) for k in const_names]
 

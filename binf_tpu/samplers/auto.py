@@ -119,14 +119,18 @@ def route_algorithm(
         for v in consts.values()
     )
     per_lane = 4 * 32 * (d_pad + c_tot)
-    # the guard tests the FLOOR tile the kernel would actually use (512
-    # lanes, _auto_block_chains never goes lower) against the kernels'
-    # 100MB scoped-VMEM cap -- a density passing a narrower hypothetical
-    # tile but blowing up at 512 would otherwise route fused and then
-    # fail to compile (ADVICE round 4).  Measured anchor: chromatin
-    # (D=193) needs 203MB at even a 128-lane tile vs 128MB chip VMEM;
-    # the 1.1MB/lane estimate correctly predicted the 1.6MB/lane actual.
-    if per_lane * 512 > 100 * 1024 * 1024:
+    # the guard tests the FLOOR tile the kernel would actually use --
+    # _auto_block_chains never goes below 512 lanes, but the driver clamps
+    # the tile to the per-device chain count, so small batches are judged
+    # at their real (smaller) tile -- against the kernels' 100MB
+    # scoped-VMEM cap (ADVICE round 4 + round-5 review).  The 1.45x
+    # factor is the measured estimate-to-actual ratio (chromatin D=193:
+    # estimate 1.1MB/lane vs 1.6MB/lane actual, which blew 128MB chip
+    # VMEM at a 128-lane tile); the 0.8 margin keeps borderline shapes
+    # (within the estimate's error bar of the cap) off the path that
+    # would fail at compile time.
+    floor_tile = min(512, max(n_local, 1))
+    if per_lane * 1.45 * floor_tile > 0.8 * 100 * 1024 * 1024:
         return RoutingDecision(
             "xla",
             "data-heavy density: the 512-lane floor tile exceeds the "

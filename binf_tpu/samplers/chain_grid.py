@@ -34,22 +34,11 @@ _CG_CACHE: dict = {}
 
 
 def _cached_cg_potential(logdensity_fn, template):
-    key = (
-        logdensity_fn,
-        tuple(
-            (name, tuple(jnp.shape(template[name])))
-            for name in sorted(template)
-        ),
+    from binf_tpu.samplers.fused import _cached_potential
+
+    return _cached_potential(
+        _CG_CACHE, chain_grid_potential_from_scalar, logdensity_fn, template
     )
-    try:
-        hit = _CG_CACHE.get(key)
-    except TypeError:
-        return chain_grid_potential_from_scalar(logdensity_fn, template)
-    if hit is None:
-        hit = _CG_CACHE[key] = chain_grid_potential_from_scalar(
-            logdensity_fn, template
-        )
-    return hit
 
 
 def chain_grid_model_hmc(
@@ -74,7 +63,15 @@ def chain_grid_model_hmc(
     windows, pooled dual averaging, cross-chain diagonal metric; draws in
     UNCONSTRAINED space; ``collect="moments"`` streams Welford moments
     in-kernel).  ``block_chains`` is the kernel's chain UNROLL factor S
-    (4-16), not a lane width.
+    (multiples of 8), not a lane width.
+
+    Hardware supportability: the kernel targets DATA-HEAVY densities whose
+    per-chain intermediates are >= 2-D (restraint matrices, design blocks)
+    -- those lower cleanly.  Densities dominated by bare 1-D vector math
+    can hit residual Mosaic 1-D limitations on real TPUs (1-D dot operands
+    are auto-promoted, but e.g. some 1-D reductions still fail with
+    "Not implemented" -- interpret mode is unaffected); such models are the
+    lane kernel's measured win regime anyway (``--algorithm fused/auto``).
     """
     from binf_tpu.samplers.adaptation import window_adaptation
     from binf_tpu.samplers.hmc import hmc

@@ -183,11 +183,11 @@ def _unpack_jit(draws, spec_key):
 _TILE_CACHE: dict = {}
 
 
-def _cached_tile_potential(logdensity_fn, template):
-    """Build-once cache: tracing + the build-time supportability dry-run
-    cost ~1s of host time, so repeated runs with the same log density
-    (by identity, like jit) and template structure reuse the compiled
-    potential."""
+def _cached_potential(cache, build, logdensity_fn, template):
+    """Build-once cache shared by the fused potential front ends: tracing
+    + the build-time supportability dry-run cost ~1s of host time, so
+    repeated runs with the same log density (by identity, like jit) and
+    template structure reuse the compiled potential."""
     key = (
         logdensity_fn,
         tuple(
@@ -195,12 +195,18 @@ def _cached_tile_potential(logdensity_fn, template):
         ),
     )
     try:
-        hit = _TILE_CACHE.get(key)
+        hit = cache.get(key)
     except TypeError:  # unhashable logdensity
-        return tile_potential_from_scalar(logdensity_fn, template)
+        return build(logdensity_fn, template)
     if hit is None:
-        hit = _TILE_CACHE[key] = tile_potential_from_scalar(logdensity_fn, template)
+        hit = cache[key] = build(logdensity_fn, template)
     return hit
+
+
+def _cached_tile_potential(logdensity_fn, template):
+    return _cached_potential(
+        _TILE_CACHE, tile_potential_from_scalar, logdensity_fn, template
+    )
 
 
 def _contains_loop(jaxpr) -> bool:
@@ -325,7 +331,8 @@ def fused_model_hmc(
     mass, pooled per chain tile instead of across all chains): warmup +
     sampling + packing then execute as ONE jit -- a single host dispatch,
     which on a tunneled TPU cuts end-to-end warm latency from ~1.2 s to the
-    device compute time.  Requires ``trajectory="fixed"``; ``step_size`` and
+    device compute time.  Composes with ``trajectory="chees"`` (the whole
+    adaptive ChEES run as one dispatch); ``step_size`` and
     ``inverse_mass`` in the result are then per-chain arrays.
 
     ``warmup="dense"`` adapts a FULL covariance metric
@@ -334,12 +341,13 @@ def fused_model_hmc(
     velocities -- the preconditioner for correlated posteriors;
     ``inverse_mass`` in the result is then the (D, D) matrix.
 
-    ``trajectory="chees"`` adapts the trajectory length during warmup with
-    ChEES (Hoffman, Radul & Sountsov 2021) instead of using the fixed
-    ``num_leapfrog``: the adapted length is frozen to the nearest static
-    step count ``round(T/eps)`` (clamped to ``max_leapfrog``) when the fused
-    kernel is built -- one host sync between warmup and sampling.
-    ``initial_step_size=None`` seeds warmup with
+    ``trajectory="chees"`` adapts the mean trajectory length T during
+    warmup with ChEES (Hoffman, Radul & Sountsov 2021) instead of using
+    the fixed ``num_leapfrog``, and the fused sampling kernel integrates
+    halton-jittered trajectories with a TRACED loop bound
+    ``L_t = ceil(h_t * 2T/eps)`` clamped to ``max_leapfrog`` -- no frozen
+    static length, no host sync (round 5; ``result.trajectory_length``
+    carries T).  ``initial_step_size=None`` seeds warmup with
     ``find_reasonable_step_size``.
     """
     from binf_tpu.samplers.adaptation import window_adaptation
@@ -411,6 +419,7 @@ def fused_model_hmc(
             init_search=initial_step_size is None,
             block_chains=bc, mesh=mesh, interpret=interpret,
             host_noise=host_noise, collect=collect, trajectory=trajectory,
+            max_leapfrog=max_leapfrog,
             run_kwargs=run_kwargs,
         )
     if warmup == "dense":

@@ -65,6 +65,35 @@ def test_chain_grid_samples_gaussian():
 
 
 @pytest.mark.slow
+def test_chain_grid_1d_variable_metric_applied():
+    """Regression (round-5 review): a 1-D variable's inverse mass was
+    rebuilt from the wrong padded layout and collapsed to im[0].  With a
+    strongly anisotropic 1-D metric, the wide coordinate (scale 10) can
+    only mix if its own metric entry is applied -- under the collapsed
+    metric its drift per step is ~100x too small to reach std 10."""
+    s = jnp.asarray([0.1, 10.0, 1.0, 2.0])
+
+    def ld(p):
+        return -0.5 * jnp.sum((p["x"] / s) ** 2)
+
+    pot, consts, _ = chain_grid_potential_from_scalar(
+        ld, {"x": jnp.zeros((4,))}
+    )
+    C = 16
+    q0 = {"x": jnp.zeros((C, 4))}
+    im = {"x": s**2}  # ideal per-coordinate metric
+    res = chain_grid_hmc_run(
+        pot, q0, 5, 0.9, im, consts, num_steps=400, num_leapfrog=5,
+        block_chains=8, steps_per_block=50, interpret=True, host_noise=True,
+    )
+    assert 0.5 < float(res.accept_rate) <= 1.0
+    draws = np.asarray(res.draws["x"])[200:]
+    np.testing.assert_allclose(
+        draws.reshape(-1, 4).std(0), np.asarray(s), rtol=0.25
+    )
+
+
+@pytest.mark.slow
 def test_chain_grid_moments_match_draws():
     ld, template, _ = _gaussian_model()
     pot, consts, _ = chain_grid_potential_from_scalar(ld, template)
