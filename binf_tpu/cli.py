@@ -477,15 +477,15 @@ def main(argv=None):
                 fused_ok = True
             except (UnsupportedPrimitiveError, ValueError):
                 fused_ok = False
+            if args.warmup_mode == "dense":
+                raise ValueError(
+                    "--algorithm chees does not support "
+                    "--warmup-mode dense (the dense metric pairs with "
+                    "fixed trajectories); use --warmup-mode xla/fused"
+                )
             if fused_ok:
                 from binf_tpu.samplers.fused import fused_model_hmc
 
-                if args.warmup_mode == "dense":
-                    raise ValueError(
-                        "--algorithm chees does not support "
-                        "--warmup-mode dense (the dense metric pairs with "
-                        "fixed trajectories); use --warmup-mode xla/fused"
-                    )
                 result = fused_model_hmc(
                     logdensity, u_positions, k_run,
                     num_warmup=args.warmup, num_samples=args.samples,

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -59,7 +58,6 @@ __all__ = [
     "chain_grid_hmc_run",
 ]
 
-_TWO_PI = 2.0 * math.pi
 
 
 # -- potential front end ------------------------------------------------------
@@ -182,15 +180,15 @@ def _promote_1d_dot(lhs, rhs, dimension_numbers, **params):
         lhs2, rhs2, ((tuple(lc2), tuple(rc2)), ((), ())), **params
     )
     # output layout: lhs non-contracting dims then rhs non-contracting
-    # dims; each promoted operand contributed one leading unit dim
-    shape = []
-    if lhs.ndim == 1:
-        if rhs.ndim == 1:
-            return out.reshape(())
-        shape = [d for i, d in enumerate(rhs.shape) if i not in rc]
-        return out.reshape(tuple(shape))
-    shape = [d for i, d in enumerate(lhs.shape) if i not in lc]
-    return out.reshape(tuple(shape))
+    # dims; each promoted operand contributed one unit dim -- reshape to
+    # the ORIGINAL operands' non-contracting shape.  This also covers the
+    # outer-product case (empty contracting sets, which reverse-mode AD
+    # emits for the VJP of a contraction against a 2-D variable): the
+    # result is simply lhs_nc + rhs_nc.
+    out_shape = tuple(
+        d for i, d in enumerate(lhs.shape) if i not in lc
+    ) + tuple(d for i, d in enumerate(rhs.shape) if i not in rc)
+    return out.reshape(out_shape)
 
 
 def _eval_jaxpr_mosaic_safe(jaxpr, consts, *args):
@@ -213,12 +211,51 @@ def _eval_jaxpr_mosaic_safe(jaxpr, consts, *args):
         write(v, a)
     for eqn in jaxpr.eqns:
         vals = [read(v) for v in eqn.invars]
-        if eqn.primitive.name == "dot_general" and any(
+        name = eqn.primitive.name
+        if name == "dot_general" and any(
             getattr(x, "ndim", 2) == 1 for x in vals
         ):
             params = dict(eqn.params)
             dn = params.pop("dimension_numbers")
             outs = [_promote_1d_dot(vals[0], vals[1], dn, **params)]
+        elif name in ("pjit", "closed_call"):
+            # inline pure call wrappers so their bodies get the same
+            # promotion treatment
+            inner = eqn.params["jaxpr"]
+            outs = _eval_jaxpr_mosaic_safe(inner.jaxpr, inner.consts, *vals)
+        elif name == "scan":
+            # rebuild the scan around an interpreter-evaluated body so
+            # 1-D dots INSIDE sequential densities are promoted too
+            prm = eqn.params
+            body = prm["jaxpr"]
+            nc, nca = prm["num_consts"], prm["num_carry"]
+            consts_v, init, xs = vals[:nc], vals[nc:nc + nca], vals[nc + nca:]
+
+            def body_fn(carry, x, _consts=tuple(consts_v), _b=body, _n=nca):
+                o = _eval_jaxpr_mosaic_safe(
+                    _b.jaxpr, _b.consts, *_consts, *carry, *x
+                )
+                return tuple(o[:_n]), tuple(o[_n:])
+
+            carry, ys = jax.lax.scan(
+                body_fn, tuple(init), tuple(xs),
+                length=prm["length"], reverse=prm["reverse"],
+                unroll=prm.get("unroll", 1),
+            )
+            outs = list(carry) + list(ys)
+        elif name == "cond":
+            branches = eqn.params["branches"]
+            pred, ops = vals[0], vals[1:]
+            outs = list(jax.lax.switch(
+                pred,
+                [
+                    (lambda *a, _b=b: tuple(
+                        _eval_jaxpr_mosaic_safe(_b.jaxpr, _b.consts, *a)
+                    ))
+                    for b in branches
+                ],
+                *ops,
+            ))
         else:
             outs = eqn.primitive.bind(*vals, **eqn.params)
             if not eqn.primitive.multiple_results:

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,6 @@ Array = jax.Array
 
 __all__ = ["fused_linreg_hmc_run", "linreg_unconstrained_logdensity"]
 
-_TWO_PI = 2.0 * math.pi
 
 
 def linreg_unconstrained_logdensity(V, y, prior_var, gamma_shape, gamma_rate,

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -59,7 +58,6 @@ __all__ = [
     "pack_template",
 ]
 
-_TWO_PI = 2.0 * math.pi
 _SEARCH_TRIALS = 20  # doubling budget of the in-kernel step-size search
 _HALTON_LEN = 256  # jitter table length for in-kernel ChEES trajectories
 

@@ -112,28 +112,10 @@ def route_algorithm(
     sequential = _contains_loop(jax.make_jaxpr(logdensity_fn)(template).jaxpr)
     bc = _auto_block_chains(spec, consts, sequential=sequential)
 
-    import numpy as _np
-
-    c_tot = sum(
-        int(_np.prod(v.shape)) if getattr(v, "shape", ()) else 1
-        for v in consts.values()
-    )
-    per_lane = 4 * 32 * (d_pad + c_tot)
-    # the guard tests the FLOOR tile the kernel would actually use --
-    # _auto_block_chains never goes below 512 lanes, but the driver clamps
-    # the tile to the per-device chain count, so small batches are judged
-    # at their real (smaller) tile -- against the kernels' 100MB
-    # scoped-VMEM cap (ADVICE round 4 + round-5 review).  The 1.45x
-    # factor is the measured estimate-to-actual ratio (chromatin D=193:
-    # estimate 1.1MB/lane vs 1.6MB/lane actual, which blew 128MB chip
-    # VMEM at a 128-lane tile); the 0.8 margin keeps borderline shapes
-    # (within the estimate's error bar of the cap) off the path that
-    # would fail at compile time.
-    floor_tile = min(512, max(n_local, 1))
-    if per_lane * 1.45 * floor_tile > 0.8 * 100 * 1024 * 1024:
+    if _data_heavy(d_pad, consts, n_local):
         return RoutingDecision(
             "xla",
-            "data-heavy density: the 512-lane floor tile exceeds the "
+            "data-heavy density: the floor chain tile exceeds the "
             "kernel's scoped-VMEM budget (measured: chromatin needs "
             "203MB at 128 lanes vs 128MB available) -> XLA path",
             d, d_pad, n_local, sequential, None,
@@ -169,6 +151,28 @@ def route_algorithm(
     )
 
 
+def _data_heavy(d_pad: int, consts: dict, n_local: int) -> bool:
+    """The router's shared VMEM cost model: does the fused lane kernel's
+    FLOOR chain tile exceed its scoped-VMEM budget for this density?
+
+    The floor tile is min(512, n_local) clamped to the 128-lane Mosaic
+    f32 tile granularity (narrower tiles still occupy 128 padded lanes of
+    VMEM); the 1.45x factor is the measured estimate-to-actual ratio
+    (chromatin D=193: 1.1MB/lane estimated vs 1.6MB/lane actual, which
+    blew 128MB chip VMEM at a 128-lane tile); the 0.8 margin keeps
+    borderline shapes off the path that would fail at compile time
+    (ADVICE round 4 + round-5 review)."""
+    import numpy as _np
+
+    c_tot = sum(
+        int(_np.prod(v.shape)) if getattr(v, "shape", ()) else 1
+        for v in consts.values()
+    )
+    per_lane = 4 * 32 * (d_pad + c_tot)
+    floor_tile = min(512, max(n_local, 128))
+    return per_lane * 1.45 * floor_tile > 0.8 * 100 * 1024 * 1024
+
+
 def route_trajectory_sampler(
     requested: str,
     logdensity_fn: Callable,
@@ -194,16 +198,11 @@ def route_trajectory_sampler(
     if requested != "nuts":
         return requested, f"requested {requested!r} (no reroute rule)"
 
-    import numpy as _np
-
     template = jax.tree.map(lambda x: x[0], initial_positions)
+    n_local = jax.tree.leaves(initial_positions)[0].shape[0]
     try:
         _, consts, spec = _cached_tile_potential(logdensity_fn, template)
         d = sum(size for _, _, size in spec)
-        c_tot = sum(
-            int(_np.prod(v.shape)) if getattr(v, "shape", ()) else 1
-            for v in consts.values()
-        )
     except Exception:
         # not tile-compilable usually means an expensive/structured
         # density -- treat as gradient-scarce and honor the request
@@ -212,8 +211,7 @@ def route_trajectory_sampler(
             "gradient-scarce)"
         )
     d_pad = ((d + 7) // 8) * 8
-    per_lane = 4 * 32 * (d_pad + c_tot)
-    if per_lane * 512 > 100 * 1024 * 1024:
+    if _data_heavy(d_pad, consts, n_local):
         return "nuts", (
             "nuts honored: data-heavy density (gradient evaluations are "
             "the scarce resource; NUTS ESS/grad ~10x fixed-L)"
