@@ -65,6 +65,49 @@ def test_chain_grid_samples_gaussian():
 
 
 @pytest.mark.slow
+def test_chain_grid_sequential_density_with_matvec():
+    """The mosaic-safe evaluator rebuilds scan bodies (and promotes the
+    1-D dots inside them): an AR(1)-style density whose scan body does a
+    matvec against the state samples correctly through the chain-grid
+    kernel."""
+    T_len = 12
+    A = jnp.asarray([[0.6, 0.2], [0.0, 0.5]])
+    y = 0.3 * jax.random.normal(jax.random.key(9), (T_len, 2))
+
+    def ld(p):
+        x0 = p["x0"]  # (2,)
+
+        def body(x, y_t):
+            x = A @ x  # matvec inside the scan body (1-D dot operand)
+            return x, jnp.sum((y_t - x) ** 2)
+
+        _, sq = jax.lax.scan(body, x0, y)
+        return -0.5 * jnp.sum(sq) - 0.5 * jnp.sum(x0**2)
+
+    pot, consts, _ = chain_grid_potential_from_scalar(
+        ld, {"x0": jnp.zeros((2,))}
+    )
+    # evaluator output matches plain value_and_grad
+    kc = {k: _pad_const(v) for k, v in consts.items()}
+    pos = {"x0": jnp.asarray([0.4, -0.7])}
+    u, g = pot.value_and_grad(pos, kc)
+    u_ref, g_ref = jax.value_and_grad(lambda p: -ld(p))(pos)
+    np.testing.assert_allclose(float(u), float(u_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g["x0"]), np.asarray(g_ref["x0"]), rtol=1e-5
+    )
+    # and the kernel samples it
+    C = 16
+    res = chain_grid_hmc_run(
+        pot, {"x0": jnp.zeros((C, 2))}, 3, 0.2,
+        {"x0": jnp.ones((2,))}, consts,
+        num_steps=100, num_leapfrog=5, block_chains=8,
+        steps_per_block=50, interpret=True, host_noise=True,
+    )
+    assert 0.3 < float(res.accept_rate) <= 1.0
+    assert np.all(np.isfinite(np.asarray(res.draws["x0"])))
+
+
 def test_chain_grid_1d_variable_metric_applied():
     """Regression (round-5 review): a 1-D variable's inverse mass was
     rebuilt from the wrong padded layout and collapsed to im[0].  With a
